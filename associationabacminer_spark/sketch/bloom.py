@@ -1,0 +1,97 @@
+"""Bloom filter — mergeable approximate-membership sketch (Bloom, CACM 1970).
+
+Replaces the reference's membership test of an event hash against the
+in-memory allowed-hash set
+(/root/reference/src/eval/EnvPolicyEvaluator.py:192-199,210-215) with a
+fixed-size bit array: zero false negatives, false-positive rate
+~(1 - e^{-kn/m})^k.
+
+Bit array is stored as uint64 words; inserts and probes are fully
+vectorized (one ``hash64_multi`` pass for all k probes of a batch).
+Merging is bitwise OR (same (m, k) family).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from associationabacminer_spark.sketch.hashing import hash64_multi
+
+_MAGIC = b"BLM1"
+
+
+class BloomFilter:
+    __slots__ = ("m", "k", "words", "n_inserted")
+
+    def __init__(self, m_bits: int, k: int):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.words = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        self.n_inserted = 0
+
+    @classmethod
+    def from_capacity(cls, n: int, fpp: float = 0.01) -> "BloomFilter":
+        """Optimal sizing: m = -n ln p / ln^2 2, k = m/n ln 2."""
+        m = max(64, math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2))) if n > 0 else 1
+        return cls(m, k)
+
+    def _positions(self, values) -> np.ndarray:
+        # double hashing: pos_i = (h1 + i*h2) mod m  (Kirsch-Mitzenmacher)
+        hm = hash64_multi(values, np.array([0, 1], dtype=np.uint64))
+        h1, h2 = hm[0], hm[1] | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(
+                np.int64
+            )
+
+    def update_batch(self, values) -> "BloomFilter":
+        if len(values) == 0:
+            return self
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+        )
+        self.n_inserted += len(values)
+        return self
+
+    def contains(self, values) -> np.ndarray:
+        """Vectorized membership probe -> bool array."""
+        if len(values) == 0:
+            return np.empty(0, dtype=bool)
+        pos = self._positions(values)  # (k, n)
+        bits = (
+            self.words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=0)
+
+    @property
+    def expected_fpp(self) -> float:
+        return (1.0 - math.exp(-self.k * self.n_inserted / self.m)) ** self.k
+
+    @staticmethod
+    def merge(a: "BloomFilter", b: "BloomFilter") -> "BloomFilter":
+        if (a.m, a.k) != (b.m, b.k):
+            raise ValueError("cannot merge Bloom filters of different families")
+        out = BloomFilter(a.m, a.k)
+        np.bitwise_or(a.words, b.words, out=out.words)
+        out.n_inserted = a.n_inserted + b.n_inserted
+        return out
+
+    def serialize(self) -> bytes:
+        head = _MAGIC + struct.pack("<qIq", self.m, self.k, self.n_inserted)
+        return head + self.words.astype("<u8").tobytes()
+
+    @staticmethod
+    def deserialize(data: bytes) -> "BloomFilter":
+        if data[:4] != _MAGIC:
+            raise ValueError("not a Bloom blob")
+        m, k, n = struct.unpack("<qIq", data[4:24])
+        out = BloomFilter(m, k)
+        out.words = np.frombuffer(data[24:], dtype="<u8").astype(np.uint64)
+        out.n_inserted = n
+        return out

@@ -1,0 +1,188 @@
+"""KLL quantile sketch (Karnin, Lang, Liberty — FOCS 2016).
+
+Replaces the reference's equi-frequency hour-bin lookup tables, which were
+computed offline from exact sorted data
+(/root/reference/src/model/ConfigurableEventNormalizer.py:40-56), with a
+streaming mergeable quantile sketch: rank queries with additive rank error
+O(1/k), here validated against the empirical DataSketches figure of
+~1.65% normalized rank error at k=200 (99% confidence).
+
+Structure: geometric ladder of compactors; level l items carry weight 2^l.
+Level capacities shrink geometrically from the top (cap = max(2,
+ceil(k * c^(H-l))) with c = 2/3).  Compaction sorts a level and promotes
+every other item (random offset) to the level above.
+
+Determinism: the compaction coin is drawn from a splitmix64 counter stream
+seeded at construction — the same sequence of update/merge operations
+reproduces a byte-identical sketch (needed for the resume-from-checkpoint
+test), while remaining unbiased across compactions.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from associationabacminer_spark.sketch.hashing import splitmix64
+
+_MAGIC = b"KLL1"
+_C = 2.0 / 3.0
+
+
+class KLL:
+    __slots__ = ("k", "levels", "n", "_coin_state")
+
+    def __init__(self, k: int = 200, seed: int = 0):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self._coin_state = np.uint64(seed)
+
+    # -- internals ----------------------------------------------------------
+    def _coin(self) -> int:
+        self._coin_state = splitmix64(
+            np.array([self._coin_state], dtype=np.uint64)
+        )[0]
+        return int(self._coin_state & np.uint64(1))
+
+    def _capacity(self, level: int) -> int:
+        h = len(self.levels) - 1
+        return max(2, int(math.ceil(self.k * (_C ** (h - level)))))
+
+    def _total_capacity(self) -> int:
+        return sum(self._capacity(l) for l in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(len(a) for a in self.levels)
+
+    def _compress(self) -> None:
+        while self._size() > self._total_capacity():
+            for l in range(len(self.levels)):
+                if len(self.levels[l]) > self._capacity(l):
+                    arr = np.sort(self.levels[l])
+                    off = self._coin()
+                    promoted = arr[off::2]
+                    self.levels[l] = np.empty(0, dtype=np.float64)
+                    if l + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[l + 1] = np.concatenate(
+                        [self.levels[l + 1], promoted]
+                    )
+                    break
+            else:
+                break  # nothing over capacity individually; tolerate
+
+    # -- update -------------------------------------------------------------
+    def update_batch(self, values) -> "KLL":
+        arr = np.asarray(values, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        if len(arr) == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], arr])
+        self.n += len(arr)
+        self._compress()
+        return self
+
+    # -- merge --------------------------------------------------------------
+    @staticmethod
+    def merge(a: "KLL", b: "KLL") -> "KLL":
+        if a.k != b.k:
+            raise ValueError("cannot merge KLL sketches with different k")
+        out = KLL(a.k)
+        out.n = a.n + b.n
+        with np.errstate(over="ignore"):
+            out._coin_state = splitmix64(
+                np.array([a._coin_state ^ b._coin_state], dtype=np.uint64)
+            )[0]
+        depth = max(len(a.levels), len(b.levels))
+        out.levels = []
+        for l in range(depth):
+            parts = []
+            if l < len(a.levels):
+                parts.append(a.levels[l])
+            if l < len(b.levels):
+                parts.append(b.levels[l])
+            out.levels.append(
+                np.concatenate(parts) if parts else np.empty(0, dtype=np.float64)
+            )
+        out._compress()
+        return out
+
+    # -- query --------------------------------------------------------------
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, wts = [], []
+        for l, arr in enumerate(self.levels):
+            if len(arr):
+                vals.append(arr)
+                wts.append(np.full(len(arr), 1 << l, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q) -> np.ndarray | float:
+        """Value(s) at normalized rank(s) q in [0,1]."""
+        scalar = np.isscalar(q)
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        v, w = self._weighted()
+        if len(v) == 0:
+            res = np.full(len(qs), np.nan)
+            return float(res[0]) if scalar else res
+        cum = np.cumsum(w)
+        targets = np.clip(qs, 0.0, 1.0) * cum[-1]
+        pos = np.searchsorted(cum, targets, side="left")
+        pos = np.clip(pos, 0, len(v) - 1)
+        res = v[pos]
+        return float(res[0]) if scalar else res
+
+    def rank(self, values) -> np.ndarray:
+        """Normalized rank estimate(s) of value(s)."""
+        v, w = self._weighted()
+        arr = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        if len(v) == 0:
+            return np.zeros(len(arr))
+        cum = np.concatenate([[0], np.cumsum(w)])
+        pos = np.searchsorted(v, arr, side="right")
+        return cum[pos] / cum[-1]
+
+    @property
+    def rank_error(self) -> float:
+        """Empirical 99%-confidence normalized rank error for this k
+        (DataSheets/DataSketches figure: ~1.65% at k=200, scaling ~ 1/k)."""
+        return 3.31 / self.k
+
+    # -- serde --------------------------------------------------------------
+    def serialize(self) -> bytes:
+        head = _MAGIC + struct.pack(
+            "<IqQI", self.k, self.n, int(self._coin_state), len(self.levels)
+        )
+        parts = [head]
+        for arr in self.levels:
+            parts.append(struct.pack("<I", len(arr)))
+            parts.append(arr.astype("<f8").tobytes())
+        return b"".join(parts)
+
+    @staticmethod
+    def deserialize(data: bytes) -> "KLL":
+        if data[:4] != _MAGIC:
+            raise ValueError("not a KLL blob")
+        k, n, coin, nlevels = struct.unpack("<IqQI", data[4:28])
+        out = KLL(k)
+        out.n = n
+        out._coin_state = np.uint64(coin)
+        out.levels = []
+        off = 28
+        for _ in range(nlevels):
+            (ln,) = struct.unpack("<I", data[off : off + 4])
+            off += 4
+            out.levels.append(
+                np.frombuffer(data[off : off + 8 * ln], dtype="<f8").astype(
+                    np.float64
+                )
+            )
+            off += 8 * ln
+        return out

@@ -1,0 +1,266 @@
+"""Kernel-tier tests: pure numpy, no SparkSession — published-bound and
+merge-law property tests (SURVEY.md §5 items 1-3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from associationabacminer_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    TDigest,
+    hash64,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def split_random(arr: np.ndarray, k: int, seed: int) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    assignment = rng.integers(0, k, size=len(arr))
+    return [arr[assignment == i] for i in range(k)]
+
+
+# ---------------------------------------------------------------- hashing
+class TestHash:
+    def test_deterministic_and_seeded(self):
+        vals = np.array(["a", "b", "c", "a"], dtype=object)
+        h0 = hash64(vals, seed=0)
+        h0b = hash64(vals, seed=0)
+        h1 = hash64(vals, seed=1)
+        assert (h0 == h0b).all()
+        assert (h0 != h1).any()
+        assert h0[0] == h0[3]  # same value -> same hash
+
+    def test_int_path_uniformity(self):
+        h = hash64(np.arange(100_000, dtype=np.int64))
+        # top bit should be ~50/50
+        frac = (h >> np.uint64(63)).mean()
+        assert 0.49 < frac < 0.51
+
+
+# ---------------------------------------------------------------- HLL
+class TestHLL:
+    @pytest.mark.parametrize("true_d", [1, 10, 1000, 100_000])
+    def test_error_within_published_bound(self, true_d):
+        h = HyperLogLog(p=14)
+        vals = np.arange(true_d, dtype=np.int64)
+        # feed with duplicates in several batches
+        for batch in np.array_split(np.tile(vals, 3), 7):
+            h.update_batch(batch)
+        est = h.estimate()
+        bound = 3 * h.relative_error  # 3 sigma of 1.04/sqrt(m)
+        assert abs(est - true_d) <= max(1.0, bound * true_d)
+
+    def test_sparse_to_dense_promotion(self):
+        h = HyperLogLog(p=14)
+        h.update_batch(np.arange(100))
+        assert h.is_sparse
+        h.update_batch(np.arange(100_000))
+        assert not h.is_sparse
+
+    def test_serde_roundtrip_both_modes(self):
+        for n in (50, 100_000):
+            h = HyperLogLog(p=14).update_batch(np.arange(n))
+            h2 = HyperLogLog.deserialize(h.serialize())
+            assert h2.estimate() == h.estimate()
+            assert h2.is_sparse == h.is_sparse
+
+    def test_merge_equals_single_pass(self):
+        vals = RNG.integers(0, 50_000, size=200_000)
+        single = HyperLogLog(p=14).update_batch(vals)
+        parts = split_random(vals, 8, seed=1)
+        sketches = [HyperLogLog(p=14).update_batch(p) for p in parts]
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = HyperLogLog.merge(merged, s)
+        # HLL merge is exactly register-max: identical estimate
+        assert merged.estimate() == single.estimate()
+
+    def test_merge_commutative_associative(self):
+        vals = RNG.integers(0, 10_000, size=30_000)
+        a, b, c = [
+            HyperLogLog(p=14).update_batch(p) for p in split_random(vals, 3, seed=2)
+        ]
+        ab_c = HyperLogLog.merge(HyperLogLog.merge(a, b), c)
+        a_bc = HyperLogLog.merge(a, HyperLogLog.merge(b, c))
+        ba_c = HyperLogLog.merge(HyperLogLog.merge(b, a), c)
+        assert ab_c.estimate() == a_bc.estimate() == ba_c.estimate()
+
+    def test_string_values(self):
+        vals = np.array([f"conv-{i % 5000}" for i in range(40_000)], dtype=object)
+        h = HyperLogLog(p=14).update_batch(vals)
+        assert abs(h.estimate() - 5000) <= 3 * h.relative_error * 5000
+
+
+# ---------------------------------------------------------------- CMS
+class TestCMS:
+    def test_overestimate_only_and_bound(self):
+        # fixed frequency vector incl. one key at 40% mass (FIXTURES.md F3)
+        keys = np.concatenate(
+            [
+                np.zeros(40_000, dtype=np.int64),
+                RNG.integers(1, 5000, size=60_000),
+            ]
+        )
+        cms = CountMinSketch(width=2048, depth=5)
+        for batch in np.array_split(keys, 5):
+            cms.update_batch(batch)
+        uniq, true_counts = np.unique(keys, return_counts=True)
+        est = cms.query(uniq)
+        assert (est >= true_counts).all()  # never underestimates
+        n = cms.total
+        viol = (est - true_counts > cms.eps * n).mean()
+        assert viol <= cms.delta + 0.01
+
+    def test_weighted_updates(self):
+        cms = CountMinSketch(width=1024, depth=4)
+        cms.update_batch(np.array([1, 2, 3]), counts=np.array([10, 20, 30]))
+        assert cms.total == 60
+        assert (cms.query(np.array([1, 2, 3])) >= np.array([10, 20, 30])).all()
+
+    def test_merge_equals_single_pass(self):
+        keys = RNG.integers(0, 1000, size=50_000)
+        single = CountMinSketch(width=2048, depth=5).update_batch(keys)
+        parts = split_random(keys, 6, seed=3)
+        merged = CountMinSketch(width=2048, depth=5)
+        for p in parts:
+            merged = CountMinSketch.merge(
+                merged, CountMinSketch(width=2048, depth=5).update_batch(p)
+            )
+        assert merged.total == single.total
+        assert (merged.table == single.table).all()
+
+    def test_serde(self):
+        cms = CountMinSketch(width=512, depth=3).update_batch(np.arange(100))
+        cms2 = CountMinSketch.deserialize(cms.serialize())
+        assert cms2.total == cms.total
+        assert (cms2.table == cms.table).all()
+
+    def test_from_error_sizing(self):
+        cms = CountMinSketch.from_error(eps=0.001, delta=0.01)
+        assert cms.eps <= 0.001
+        assert cms.delta <= 0.01
+
+
+# ---------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_no_false_negatives(self):
+        present = np.array([f"in-{i}" for i in range(10_000)], dtype=object)
+        bf = BloomFilter.from_capacity(10_000, fpp=0.01)
+        for batch in np.array_split(present, 4):
+            bf.update_batch(batch)
+        assert bf.contains(present).all()
+
+    def test_fpp_within_target(self):
+        present = np.array([f"in-{i}" for i in range(10_000)], dtype=object)
+        absent = np.array([f"out-{i}" for i in range(50_000)], dtype=object)
+        bf = BloomFilter.from_capacity(10_000, fpp=0.01)
+        bf.update_batch(present)
+        fp_rate = bf.contains(absent).mean()
+        assert fp_rate <= 0.02  # 2x configured target as headroom
+
+    def test_merge_is_union(self):
+        a_vals = np.array([f"a-{i}" for i in range(500)], dtype=object)
+        b_vals = np.array([f"b-{i}" for i in range(500)], dtype=object)
+        a = BloomFilter.from_capacity(2000, 0.01).update_batch(a_vals)
+        b = BloomFilter.from_capacity(2000, 0.01).update_batch(b_vals)
+        u = BloomFilter.merge(a, b)
+        assert u.contains(a_vals).all() and u.contains(b_vals).all()
+        single = BloomFilter.from_capacity(2000, 0.01)
+        single.update_batch(a_vals).update_batch(b_vals)
+        assert (u.words == single.words).all()
+
+    def test_serde(self):
+        bf = BloomFilter.from_capacity(1000, 0.01)
+        bf.update_batch(np.arange(100))
+        bf2 = BloomFilter.deserialize(bf.serialize())
+        assert (bf2.words == bf.words).all()
+        assert bf2.contains(np.arange(100)).all()
+
+
+# ---------------------------------------------------------------- KLL
+class TestKLL:
+    def test_rank_error_bound(self):
+        # values 1..N shuffled (FIXTURES.md F3 quantile_known)
+        n = 200_000
+        vals = RNG.permutation(np.arange(1, n + 1)).astype(np.float64)
+        sk = KLL(k=200)
+        for batch in np.array_split(vals, 13):
+            sk.update_batch(batch)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = sk.quantile(q)
+            true_rank = est / n  # values are 1..N so rank is value/N
+            assert abs(true_rank - q) <= sk.rank_error, (q, est)
+
+    def test_merge_respects_bound(self):
+        n = 100_000
+        vals = RNG.normal(size=n)
+        parts = split_random(vals, 8, seed=5)
+        sketches = [KLL(k=200, seed=i).update_batch(p) for i, p in enumerate(parts)]
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = KLL.merge(merged, s)
+        assert merged.n == n
+        svals = np.sort(vals)
+        for q in (0.05, 0.5, 0.95):
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(svals, est) / n
+            assert abs(true_rank - q) <= 2 * merged.rank_error
+
+    def test_serde_byte_identical(self):
+        sk = KLL(k=200).update_batch(RNG.normal(size=50_000))
+        blob = sk.serialize()
+        sk2 = KLL.deserialize(blob)
+        assert sk2.serialize() == blob
+        assert sk2.quantile(0.5) == sk.quantile(0.5)
+
+    def test_deterministic_given_op_sequence(self):
+        vals = RNG.normal(size=30_000)
+        a = KLL(k=200, seed=7).update_batch(vals[:15_000]).update_batch(vals[15_000:])
+        b = KLL(k=200, seed=7).update_batch(vals[:15_000]).update_batch(vals[15_000:])
+        assert a.serialize() == b.serialize()
+
+
+# ---------------------------------------------------------------- t-digest
+class TestTDigest:
+    def test_quantiles_tight_at_tails(self):
+        n = 300_000
+        vals = RNG.lognormal(mean=4.0, sigma=1.0, size=n)
+        td = TDigest(delta=200)
+        for batch in np.array_split(vals, 17):
+            td.update_batch(batch)
+        svals = np.sort(vals)
+        for q, tol in [(0.001, 0.002), (0.01, 0.005), (0.5, 0.02), (0.99, 0.005), (0.999, 0.002)]:
+            est = td.quantile(q)
+            true_rank = np.searchsorted(svals, est) / n
+            assert abs(true_rank - q) <= tol, (q, est, true_rank)
+
+    def test_bounded_centroids(self):
+        td = TDigest(delta=200).update_batch(RNG.normal(size=500_000))
+        assert td.n_centroids() <= 2 * 200
+
+    def test_merge_respects_bound(self):
+        n = 120_000
+        vals = RNG.exponential(scale=3.0, size=n)
+        parts = split_random(vals, 10, seed=6)
+        digs = [TDigest(delta=200).update_batch(p) for p in parts]
+        merged = digs[0]
+        for d in digs[1:]:
+            merged = TDigest.merge(merged, d)
+        assert merged.n == n
+        svals = np.sort(vals)
+        for q in (0.01, 0.5, 0.99):
+            est = merged.quantile(q)
+            true_rank = np.searchsorted(svals, est) / n
+            assert abs(true_rank - q) <= 0.02
+
+    def test_serde_deterministic(self):
+        td = TDigest(delta=100).update_batch(RNG.normal(size=40_000))
+        blob = td.serialize()
+        td2 = TDigest.deserialize(blob)
+        assert td2.serialize() == blob
+        assert td2.quantile(0.5) == td.quantile(0.5)
