@@ -1,0 +1,264 @@
+"""Spark-tier tests for the two-stage sketch harness: exact-oracle
+reconciliation (the reference's validate_possible_privs pattern,
+/root/reference/src/EnvAbacRuleMiner.py:79-88, generalized per
+SURVEY.md §5), partition-invariance, row fidelity, and resume."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from associationabacminer_spark.operators.agg import (
+    SketchSpec,
+    build_sketches,
+    salted_group_id,
+    sketch_aggregate,
+    tree_merge,
+)
+from associationabacminer_spark.plans.lineage import run_with_lineage
+from associationabacminer_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    TDigest,
+)
+
+
+def specs_all():
+    return [
+        SketchSpec("hll_conv", HyperLogLog, "conv_id", kernel_cls=HyperLogLog),
+        SketchSpec(
+            "cms_tool",
+            lambda: CountMinSketch(width=4096, depth=5),
+            "tool",
+            kernel_cls=CountMinSketch,
+        ),
+        SketchSpec(
+            "kll_len",
+            lambda: KLL(k=200),
+            "text_len",
+            kernel_cls=KLL,
+        ),
+        SketchSpec(
+            "td_latency",
+            lambda: TDigest(delta=200),
+            "latency_s",
+            kernel_cls=TDigest,
+        ),
+        SketchSpec(
+            "bloom_conv",
+            lambda: BloomFilter.from_capacity(20_000, 0.01),
+            "conv_id",
+            kernel_cls=BloomFilter,
+        ),
+    ]
+
+
+@pytest.fixture(scope="module")
+def prepared(transcripts):
+    """Transcripts + derived columns (JVM-side exprs, SURVEY.md §2.9 W2)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    df = (
+        transcripts.withColumn("text_len", F.length("text").cast("double"))
+        .withColumn(
+            "latency_s",
+            (
+                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            ),
+        )
+    ).cache()
+    df.count()
+    return df
+
+
+class TestSketchAggregate:
+    def test_hll_vs_exact_countdistinct(self, prepared):
+        sketches = sketch_aggregate(prepared, specs_all(), num_groups=64)
+        est = sketches["hll_conv"].estimate()
+        exact = prepared.select(F.countDistinct("conv_id")).collect()[0][0]
+        bound = 3 * sketches["hll_conv"].relative_error
+        assert abs(est - exact) <= bound * exact
+
+        # CMS vs exact groupBy counts on heavy hitters
+        cms = sketches["cms_tool"]
+        top = (
+            prepared.filter(F.col("tool").isNotNull())
+            .groupBy("tool")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(5)
+            .collect()
+        )
+        keys = np.array([r["tool"] for r in top], dtype=object)
+        true = np.array([r["count"] for r in top])
+        est_counts = cms.query(keys)
+        assert (est_counts >= true).all()
+        assert (est_counts - true <= cms.eps * cms.total).all()
+
+        # KLL vs exact quantiles of text_len. text_len has heavy ties
+        # (atoms at small lengths) so the true rank of a value is an
+        # interval [count(<v), count(<=v)]/n — the estimate passes if q
+        # lands within the interval widened by the rank-error bound.
+        kll = sketches["kll_len"]
+        n = prepared.count()
+        tol = 2 * kll.rank_error + 0.005
+        for q in (0.1, 0.5, 0.9):
+            v = kll.quantile(q)
+            lo = prepared.filter(F.col("text_len") < v).count() / n
+            hi = prepared.filter(F.col("text_len") <= v).count() / n
+            assert lo - tol <= q <= hi + tol, (q, v, lo, hi)
+
+        # t-digest latency quantiles vs exact (continuous — ties rare)
+        td = sketches["td_latency"]
+        lat = prepared.filter(F.col("latency_s").isNotNull())
+        nlat = lat.count()
+        for q in (0.5, 0.99):
+            v = td.quantile(q)
+            lo = lat.filter(F.col("latency_s") < v).count() / nlat
+            hi = lat.filter(F.col("latency_s") <= v).count() / nlat
+            assert lo - 0.02 <= q <= hi + 0.02, (q, v, lo, hi)
+
+        # Bloom: no false negatives on a sample, low FP on absent keys
+        bloom = sketches["bloom_conv"]
+        sample = np.array(
+            [r["conv_id"] for r in prepared.select("conv_id").distinct().limit(500).collect()],
+            dtype=object,
+        )
+        assert bloom.contains(sample).all()
+        absent = np.array([f"absent-{i}" for i in range(20_000)], dtype=object)
+        assert bloom.contains(absent).mean() <= 0.05
+
+    def test_partition_invariance(self, prepared):
+        """Merge-law at the Spark level: 16 vs 64 groups, same HLL/CMS/
+        Bloom estimate (register-level identical)."""
+        specs = [
+            SketchSpec("hll_conv", HyperLogLog, "conv_id", kernel_cls=HyperLogLog),
+            SketchSpec(
+                "cms_tool",
+                lambda: CountMinSketch(width=2048, depth=5),
+                "tool",
+                kernel_cls=CountMinSketch,
+            ),
+        ]
+        a = sketch_aggregate(prepared, specs, num_groups=16)
+        b = sketch_aggregate(prepared, specs, num_groups=64)
+        assert a["hll_conv"].estimate() == b["hll_conv"].estimate()
+        assert (a["cms_tool"].table == b["cms_tool"].table).all()
+
+    def test_salted_grouping_balances_hot_conversation(self, prepared, spark):
+        expr = salted_group_id(64, "conv_id", "turn_idx", salts=8)
+        dist = (
+            prepared.withColumn("g", expr)
+            .groupBy("g")
+            .count()
+            .select(F.max("count").alias("mx"), F.sum("count").alias("total"))
+            .collect()[0]
+        )
+        # the hottest conversation has ~20k of ~80k rows; unsalted it
+        # would melt one group. With 64 salted groups the max group must
+        # hold well under that.
+        hot = (
+            prepared.groupBy("conv_id").count().select(F.max("count")).collect()[0][0]
+        )
+        assert dist["mx"] < hot
+
+    def test_lineage_schema_and_wall_time(self, prepared):
+        lineage = build_sketches(prepared, specs_all(), num_groups=16)
+        rows = lineage.collect()
+        assert {r["sketch_name"] for r in rows} == {
+            "hll_conv",
+            "cms_tool",
+            "kll_len",
+            "td_latency",
+            "bloom_conv",
+        }
+        assert all(r["wall_time_s"] >= 0 for r in rows)
+        # row_count totals match the source (per-sketch, modulo dropna)
+        total = sum(r["row_count"] for r in rows if r["sketch_name"] == "hll_conv")
+        assert total == prepared.count()
+
+
+class TestRowFidelity:
+    def test_per_turn_text_equality_under_stable_ordering(self, spark, transcripts):
+        """input_hint invariant: per-turn text equality under stable
+        (conv_id, turn_idx) ordering, row-for-row vs the source."""
+        from associationabacminer_spark.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        regen = generate_transcripts(spark, n_convs=8000, seed=42, num_partitions=4)
+        a = transcripts.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+        b = regen.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text")
+        mismatches = (
+            a.withColumnRenamed("text", "ta")
+            .join(
+                b.withColumnRenamed("text", "tb"),
+                ["conv_id", "turn_idx"],
+                "full_outer",
+            )
+            .filter(
+                F.col("ta").isNull()
+                | F.col("tb").isNull()
+                | (F.col("ta") != F.col("tb"))
+            )
+            .count()
+        )
+        assert mismatches == 0
+
+
+class TestResume:
+    def test_kill_and_resume_identical_estimates(self, prepared, spark):
+        tmp = tempfile.mkdtemp(prefix="ledger-")
+        try:
+            specs = specs_all()
+            full = run_with_lineage(
+                prepared, specs, tmp + "/full", num_groups=32, run_id="r1"
+            )
+
+            # simulate executor loss: build a partial ledger holding only
+            # half the groups, then resume
+            partial_path = tmp + "/partial"
+            lineage = build_sketches(prepared, specs, num_groups=32)
+            kept = lineage.filter(F.col("group_id") < 16).withColumn(
+                "run_id", F.lit("r1")
+            )
+            kept.write.mode("overwrite").parquet(partial_path + "/build")
+
+            resumed = run_with_lineage(
+                prepared, specs, partial_path, num_groups=32, run_id="r2"
+            )
+            assert resumed["hll_conv"].estimate() == full["hll_conv"].estimate()
+            assert (
+                resumed["cms_tool"].table == full["cms_tool"].table
+            ).all()
+            assert (
+                resumed["bloom_conv"].words == full["bloom_conv"].words
+            ).all()
+            # order-sensitive kernels: estimates equal within bound
+            assert resumed["kll_len"].n == full["kll_len"].n
+            assert (
+                abs(resumed["kll_len"].quantile(0.5) - full["kll_len"].quantile(0.5))
+                <= 2.0
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_completed_ledger_short_circuits(self, prepared, spark):
+        tmp = tempfile.mkdtemp(prefix="ledger-")
+        try:
+            specs = [
+                SketchSpec("hll_conv", HyperLogLog, "conv_id", kernel_cls=HyperLogLog)
+            ]
+            first = run_with_lineage(prepared, specs, tmp, num_groups=16, run_id="a")
+            # resume over an empty input: everything must come from the ledger
+            empty = prepared.limit(0)
+            second = run_with_lineage(empty, specs, tmp, num_groups=16, run_id="b")
+            assert second["hll_conv"].estimate() == first["hll_conv"].estimate()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
