@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The implementation lives in ``associationabacminer_spark`` (see
+SURVEY.md §2 for the operator inventory each query exercises).
 """
 
 from __future__ import annotations
@@ -15,24 +17,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full distributed
+    sketch suite (HLL distinct, CMS heavy hitters, KLL/t-digest
+    quantiles, Bloom membership) built via the two-stage applyInPandas
+    tree-merge harness, each estimate self-checked against its exact
+    answer and published bound."""
+    import associationabacminer_spark.queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    parts = [
+        Q.QUERIES["q38_hll_distinct"](spark, sf_dir),
+        Q.QUERIES["q39_cms_heavy_hitters"](spark, sf_dir),
+        Q.QUERIES["q40_kll_quantiles"](spark, sf_dir),
+        Q.QUERIES["q41_tdigest_latency"](spark, sf_dir),
+        Q.QUERIES["q42_bloom_membership"](spark, sf_dir),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import associationabacminer_spark.queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import associationabacminer_spark.queries as Q
+
+    return Q.oracle_sql()

@@ -1,0 +1,109 @@
+"""Text-analysis column functions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All built-in ``pyspark.sql.functions`` — JVM-side, codegen'd; designed so
+each has an exact ANSI-SQL twin for the DuckDB oracle.  (The reference has
+no text analytics; these are the training-pipeline extensions required by
+the build brief, expressed over the ``documents`` table.)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    t = F.trim(text if isinstance(text, Column) else F.col(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count of word/number/punct chunks after a
+    regex split — a cheap proxy for subword tokenizers."""
+    t = text if isinstance(text, Column) else F.col(text)
+    cleaned = F.regexp_replace(t, r"([a-zA-Z]{1,4})|([0-9])|([^a-zA-Z0-9\s])", "$1$2$3\x1e")
+    stripped = F.regexp_replace(cleaned, r"[^\x1e]", "")
+    return F.length(stripped).cast("int")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = text if isinstance(text, Column) else F.col(text)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+_STOPWORDS = (
+    "the", "of", "and", "to", "in", "is", "a", "for", "it", "that", "on", "with",
+)
+
+
+def stopword_ratio(text: Column | str, stopwords=_STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are (lowercase) stopwords."""
+    t = text if isinstance(text, Column) else F.col(text)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    total = F.size(toks)
+    return F.when(F.trim(t) == "", F.lit(0.0)).otherwise(hits / total)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + moderate punctuation (the usual pre-training quality gate shape)."""
+    t = text if isinstance(text, Column) else F.col(text)
+    n_tok = token_count(t)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(t) >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(t) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    return (len_ok + stop_ok + punct_ok).cast("double")
+
+
+# language-ID: tiny per-language marker vocabularies; score = marker hits.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "you"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "de", "que", "y", "los"),
+}
+
+
+def lang_hits(text: Column | str, lang: str) -> Column:
+    t = text if isinstance(text, Column) else F.col(text)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    return F.size(F.filter(toks, lambda w: w.isin(*_LANG_MARKERS[lang])))
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Argmax of marker-hit counts; 'und' (undetermined) when all zero.
+    Ties break in the fixed order en > de > fr > es (strict > below)."""
+    t = text if isinstance(text, Column) else F.col(text)
+    hits = {lang: lang_hits(t, lang) for lang in _LANG_MARKERS}
+    best_score = reduce(F.greatest, hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(_LANG_MARKERS)):
+        expr = F.when(hits[lang] == best_score, F.lit(lang)).otherwise(expr)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(expr)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint (the classic 'fingerprint' dedup
+    key): lowercase, strip non-alphanumerics, sort unique tokens, md5."""
+    t = text if isinstance(text, Column) else F.col(text)
+    norm = F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", "")
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(norm), r"\s+")))
+    return F.md5(F.array_join(toks, " "))
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (the MinHash/Jaccard input unit)."""
+    t = text if isinstance(text, Column) else F.col(text)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )

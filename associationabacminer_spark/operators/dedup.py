@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines: exact content-hash
+dedup, canonical-fingerprint dedup, n-gram Jaccard near-dup, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Reference analog: the 'unique logs' index — one doc per distinct content,
+keyed by sha1-of-sorted-json
+(/root/reference/src/model/EnvLogUniverseGenerator.py:84-104).  Everything
+here is expressed with built-in DataFrame ops (no Python UDFs); the
+MinHash family uses ``xxhash64`` so signatures are computed JVM-side.
+
+Scale notes: exact/fingerprint dedup is one hash-partitioned groupBy on
+the digest (uniform key — no skew).  MinHash-LSH replaces the O(n^2)
+pair join with an equi-join on (band, band_hash) buckets; brute-force
+Jaccard/cosine pair joins are provided as small-scale oracles only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from associationabacminer_spark.functions.text import fingerprint, word_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct content (min id wins, deterministic).
+    The content key is md5(text) so comparison cost is O(digest), like
+    the reference's sha1 _id."""
+    keyed = df.withColumn("__digest__", F.md5(F.col(text_col)))
+    winners = keyed.groupBy("__digest__").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, ["__digest__", id_col], "left_semi").drop("__digest__")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(digest, n_copies, ids) for every content with >1 copy."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def fingerprint_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-dup groups under the canonical fingerprint (lowercase, strip
+    punctuation, sorted unique tokens)."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
+
+    O(n^2) in candidate pairs sharing a shingle — the small-scale oracle
+    for MinHash-LSH. The shingle equi-join keeps it far below a full
+    cross join."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "sh"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "sh"
+    )
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).  One explode + one groupBy with num_perm
+    JVM-side min aggregates — no Python in the row path."""
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_hash): documents
+    agreeing on any full band become candidates.  This is the scale path
+    — shuffle is an equi-join on a hashed band key, never O(n^2)."""
+    banded = sig_df.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> exact Jaccard re-check of candidates only."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm, n=n)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document, computed entirely JVM-side: explode
+    tokens, per-bit signed sums, sign -> bit reassembly."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))).otherwise(0)
+                for j in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= k, blocked on the high
+    ``prefix_bits`` of the simhash to avoid the full cross join."""
+    blocked = sim_df.withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

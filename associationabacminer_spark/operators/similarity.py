@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>):
+brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path.
+
+All vector math is built-in higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, no Python UDFs.  The LSH hyperplanes are a
+deterministic seeded numpy matrix shipped as column literals (they are
+tiny: planes x dims), so bucketing is also pure Spark.
+
+Scale notes: brute-force is a broadcast nested-loop join — fine when the
+query side is small and the corpus is scanned once; for corpus x corpus
+at 10^9+ vectors use ``ann_lsh_topk`` whose only wide op is an equi-join
+on the bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    queries is broadcast (small side); ties break on neighbor id for
+    determinism.  Self-matches (same id) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rk").alias("rank"),
+        )
+    )
+
+
+def hyperplanes(dims: int, planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplane matrix (planes x dims)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dims))
+
+
+def bucket_expr(vec_col: str, hp: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff dot(vec, hp[j]) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for j in range(hp.shape[0]):
+        plane = F.array(*[F.lit(float(v)) for v in hp[j]])
+        bit = F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    then exact cosine re-rank within the bucket.  Recall is tested
+    against ``brute_force_topk`` (tests/test_similarity.py)."""
+    dims = len(corpus.select(vec_col).first()[0])
+    hp = hyperplanes(dims, planes, seed)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket_expr(vec_col, hp).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        bucket_expr(vec_col, hp).alias("bucket"),
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+    Small-scale exact form; at scale, pre-bucket with ``bucket_expr``."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,1114 @@
+"""The engine's query inventory: every SURVEY.md §2 operator family has at
+least one entry here, as (spark_fn, oracle_sql) pairs wired into
+``__spark_entry__.py``.  Oracle SQL is ANSI DuckDB run on the same
+parquet; column names and rounding match exactly (the driver hash-compares
+values after sorting columns by name).
+
+Sketch-backed queries (HLL/CMS/KLL/t-digest/Bloom estimates) cannot be
+reproduced by SQL — they ship without oracles (rows-only check) and are
+bound-verified in tests/ instead.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from associationabacminer_spark.functions import normalize as N
+from associationabacminer_spark.functions import text as TX
+from associationabacminer_spark.operators import dedup, multimodal, similarity, topk, windows
+from associationabacminer_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _epoch_s(col):
+    """Epoch seconds from TIMESTAMP or TIMESTAMP_NTZ (session TZ pinned
+    UTC -> matches DuckDB epoch() on naive timestamps)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+# =========================================================================
+# Relational core: scans, filters, aggregation (S1/S2, P1-P7, A2-A14)
+# =========================================================================
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape — groupBy + multi-agg (SURVEY §2.4 A3/A10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filtered_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q02(spark, sf_dir):
+    """TPC-H Q6 shape — predicate pushdown to the parquet scan (O1/O2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q03_join_region_revenue",
+    """
+    SELECT r.r_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q03(spark, sf_dir):
+    """3-hop dimension join; nation/region broadcast (small dims)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q04_semi_join",
+    """
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def q04(spark, sf_dir):
+    """left_semi join (EXISTS) — J-family coverage."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT COUNT(*) AS never_ordered
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def q05(spark, sf_dir):
+    """left_anti join (NOT EXISTS) — the reference's anti-join-by-
+    deletion semantics (J2, EnvAbacRuleMiner.py:268-272)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .agg(F.count("*").alias("never_ordered"))
+    )
+
+
+@query(
+    "q06_distinct_users",
+    "SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events",
+)
+def q06(spark, sf_dir):
+    """Exact distinct count (A1 oracle form; HLL twin in q35)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "q07_user_optype_multimap",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS ops
+    FROM events GROUP BY user_id
+    """,
+)
+def q07(spark, sf_dir):
+    """user -> sorted distinct ops (A9 RBAC multimap,
+    /root/reference/src/RbacRuleMiner.py:33-47)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("ops")
+    )
+
+
+@query(
+    "q08_event_type_freq",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+)
+def q08(spark, sf_dir):
+    """k=v frequency counter (A6, TableCreator.py:112-128)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q09_hourly_histogram",
+    """
+    SELECT CAST(extract(hour FROM ts) AS INT) AS hour, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q09(spark, sf_dir):
+    """Time-bucket histogram (A7, EventTimeBucketCounter.py:37-60)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").cast("int").alias("hour")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "q10_per_user_distinct_stats",
+    """
+    SELECT ROUND(AVG(d), 6) AS avg_distinct,
+           ROUND(stddev(d), 6) AS sd_distinct,
+           MAX(d) AS max_distinct
+    FROM (SELECT user_id, COUNT(DISTINCT event_type) AS d
+          FROM events GROUP BY user_id)
+    """,
+)
+def q10(spark, sf_dir):
+    """Per-user distinct + mean/stddev (A8, user_table_generator.py:18-46)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.countDistinct("event_type").alias("d"))
+    return per.agg(
+        F.round(F.avg("d"), 6).alias("avg_distinct"),
+        F.round(F.stddev("d"), 6).alias("sd_distinct"),
+        F.max("d").alias("max_distinct"),
+    )
+
+
+@query(
+    "q11_priority_score_avg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q11(spark, sf_dir):
+    """Score averaging per config (A10, ScoreAggregator.py:21-56)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+# =========================================================================
+# Top-k / sort / set ops (T1-T7)
+# =========================================================================
+
+@query(
+    "q12_topk_parts",
+    """
+    SELECT l_partkey, cnt FROM (
+      SELECT l_partkey, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey ASC) AS rk
+      FROM lineitem GROUP BY l_partkey)
+    WHERE rk <= 10
+    """,
+)
+def q12(spark, sf_dir):
+    """Top-k by count with deterministic tiebreak (T1,
+    enforce_itemset_limit at EnvAbacRuleMiner.py:234-247)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    return topk.topk_by_count(counts, ["l_partkey"], 10, count_col="cnt")
+
+
+@query(
+    "q13_top_customers_per_nation",
+    """
+    SELECT n_name, c_custkey, spend FROM (
+      SELECT n.n_name, c.c_custkey,
+             ROUND(SUM(o.o_totalprice), 2) AS spend,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY SUM(o.o_totalprice) DESC, c.c_custkey ASC) AS rk
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey)
+    WHERE rk <= 3
+    """,
+)
+def q13(spark, sf_dir):
+    """Top-k per group (A13 pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    return topk.topk_per_group(
+        spend, ["n_name"], "spend", 3, tiebreak_cols=["c_custkey"]
+    ).select("n_name", "c_custkey", "spend")
+
+
+@query(
+    "q14_heavy_hitters",
+    """
+    SELECT event_type AS key, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    HAVING COUNT(*) >= 0.05 * (SELECT COUNT(*) FROM events)
+    """,
+)
+def q14(spark, sf_dir):
+    """Exact heavy hitters at 5% support (CMS twin in q36)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        topk.heavy_hitters(ev, "event_type", 0.05)
+        .select(F.col("event_type").alias("key"), "cnt")
+    )
+
+
+# =========================================================================
+# Windowing: lag/sessionize/sliding (W1/W2)
+# =========================================================================
+
+@query(
+    "q15_user_latency",
+    """
+    SELECT user_id, ROUND(AVG(gap), 3) AS avg_gap_s, COUNT(*) AS n_gaps
+    FROM (SELECT user_id,
+                 epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+    WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q15(spark, sf_dir):
+    """Inter-event latency via lag window (W2 — absent in the reference,
+    required by the graft)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lat = ev.withColumn(
+        "gap", _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w)
+    ).filter(F.col("gap").isNotNull())
+    return lat.groupBy("user_id").agg(
+        F.round(F.avg("gap"), 3).alias("avg_gap_s"), F.count("*").alias("n_gaps")
+    )
+
+
+@query(
+    "q16_sessionize",
+    """
+    SELECT user_id, MAX(session_id) AS n_sessions FROM (
+      SELECT user_id,
+             SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (SELECT user_id, ts, event_id,
+                   epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events))
+    GROUP BY user_id
+    """,
+)
+def q16(spark, sf_dir):
+    """Sessionization: lag + running sum of gap breaks."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+
+
+@query(
+    "q17_sliding_windows",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+    FROM (SELECT date_trunc('day', ts) - INTERVAL (i) DAY AS ws
+          FROM events, generate_series(0, 2) t(i))
+    GROUP BY ws
+    """,
+)
+def q17(spark, sf_dir):
+    """Sliding 3d/1d event-time windows in one pass (W1 — the reference
+    runs one job per window, WindowGenerator.py:13-24)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.window_counts(ev, "ts", "3 days", "1 day").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
+@query(
+    "q18_windowed_distinct_users",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q18(spark, sf_dir):
+    """Per-day distinct users — windowed exact distinct (W1 x A1)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# =========================================================================
+# Normalization functions (N1-N12)
+# =========================================================================
+
+@query(
+    "q19_crud_verbs",
+    """
+    SELECT CASE
+             WHEN lower(event_type) LIKE 'signup%' THEN 'Create'
+             WHEN lower(event_type) LIKE 'view%' OR lower(event_type) LIKE 'click%' THEN 'Read'
+             WHEN lower(event_type) LIKE 'purchase%' THEN 'Update'
+             ELSE 'Execute'
+           END AS verb,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q19(spark, sf_dir):
+    """CRUD verb binning (N3, ConfigurableEventNormalizer.py:121-138)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(N.crud_verb(F.col("event_type")).alias("verb")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "q20_hour_bins",
+    """
+    SELECT CAST(floor(extract(hour FROM ts) / 6) AS INT) AS hour_bin, COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q20(spark, sf_dir):
+    """simple-4 hour binning (N1)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(N.hour_bin_simple("ts", 4).alias("hour_bin")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@query(
+    "q21_weekday_weekend",
+    """
+    SELECT CAST(isodow(ts) - 1 AS INT) AS weekday,
+           CAST(isodow(ts) >= 6 AS BOOLEAN) AS weekend,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q21(spark, sf_dir):
+    """Weekday/weekend derivation (N2)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        N.weekday("ts").alias("weekday"), N.is_weekend("ts").alias("weekend")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q22_json_props",
+    """
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def q22(spark, sf_dir):
+    """Nested-to-flat projection of semi-structured props (P1 analog,
+    event_flattner.py:20-82)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q23_qualified_fill",
+    """
+    SELECT concat(coalesce(source, 'NONE'), ':', lang) AS qualified, COUNT(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q23(spark, sf_dir):
+    """Qualification + missing-fill (N6/N7)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.concat_ws(":", N.fill_missing("source"), F.col("lang")).alias("qualified")
+    ).agg(F.count("*").alias("cnt"))
+
+
+# =========================================================================
+# Grouping sets / pivot (Spark-free extras the reference lacks)
+# =========================================================================
+
+@query(
+    "q24_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q24(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q25_pivot_status",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS qty_o,
+           SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q25(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_o"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_f"),
+        )
+    )
+
+
+# =========================================================================
+# Rule/theta-join scoring (J1-J5, M1-M3, O6)
+# =========================================================================
+
+_RULES = [
+    ("r0", "purchase", 0, 5),
+    ("r1", "view", 5, 10),
+    ("r2", "error", 0, 20),
+]
+
+
+@query(
+    "q26_rule_match_counts",
+    """
+    SELECT r.rule_id, COUNT(e.event_id) AS matched
+    FROM (VALUES ('r0', 'purchase', 0, 5), ('r1', 'view', 5, 10), ('r2', 'error', 0, 20))
+         r(rule_id, etype, lo, hi)
+    LEFT JOIN events e
+      ON e.event_type = r.etype AND e.user_id >= r.lo AND e.user_id < r.hi
+    GROUP BY r.rule_id
+    """,
+)
+def q26(spark, sf_dir):
+    """Event x rule theta-join: broadcast nested-loop with conjunctive
+    predicates (J1, policy_allows_event at EnvPolicyEvaluator.py:32-36)."""
+    ev = _t(spark, sf_dir, "events")
+    rules = spark.createDataFrame(_RULES, "rule_id string, etype string, lo long, hi long")
+    joined = F.broadcast(rules).join(
+        ev,
+        (ev.event_type == rules.etype)
+        & (ev.user_id >= rules.lo)
+        & (ev.user_id < rules.hi),
+        "left",
+    )
+    return joined.groupBy("rule_id").agg(F.count("event_id").alias("matched"))
+
+
+@query(
+    "q27_uncovered_remainder",
+    """
+    SELECT COUNT(*) AS uncovered
+    FROM events
+    WHERE NOT (event_type = 'view' OR (event_type = 'purchase' AND user_id < 10))
+    """,
+)
+def q27(spark, sf_dir):
+    """Anti-join by deletion: the uncovered remainder after applying a
+    2-rule policy (J2, EnvAbacRuleMiner.py:268-272)."""
+    ev = _t(spark, sf_dir, "events")
+    covered = (F.col("event_type") == "view") | (
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 10)
+    )
+    return ev.filter(~covered).agg(F.count("*").alias("uncovered"))
+
+
+@query(
+    "q28_factorized_universe",
+    """
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events)
+         * (SELECT COUNT(DISTINCT event_type) FROM events)
+         * (SELECT COUNT(DISTINCT CAST(extract(hour FROM ts) AS INT)) FROM events)
+           AS universe_size
+    """,
+)
+def q28(spark, sf_dir):
+    """Factorized cardinality |U|x|O|x|E| — 3 cheap distinct counts
+    instead of enumerating the Cartesian product (O6,
+    EnvOverassignmentCalculator.py:113-116; the enumeration it avoids is
+    EnvParamGenerators.py:87-110)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        (
+            F.countDistinct("user_id")
+            * F.countDistinct("event_type")
+            * F.countDistinct(F.hour("ts").cast("int"))
+        ).alias("universe_size")
+    )
+
+
+@query(
+    "q29_confusion_matrix",
+    """
+    SELECT tp, n - tp AS fn,
+           ROUND(CASE WHEN n > 0 THEN tp / CAST(n AS DOUBLE) ELSE 1.0 END, 6) AS recall
+    FROM (SELECT SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS tp,
+                 COUNT(*) AS n
+          FROM events)
+    """,
+)
+def q29(spark, sf_dir):
+    """Policy confusion-matrix core: conditional aggregation (M3,
+    EnvPolicyEvaluator.py:202-252)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.sum(F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)).alias("tp"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "tp",
+        (F.col("n") - F.col("tp")).alias("fn"),
+        F.round(
+            F.when(F.col("n") > 0, F.col("tp") / F.col("n")).otherwise(F.lit(1.0)), 6
+        ).alias("recall"),
+    )
+
+
+# =========================================================================
+# Dedup suite (exact, fingerprint, n-gram Jaccard; MinHash/SimHash are
+# rows-only — verified in tests)
+# =========================================================================
+
+@query(
+    "q30_exact_dedup",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+    FROM documents
+    """,
+)
+def q30(spark, sf_dir):
+    """Exact content-hash dedup stats (O4 'unique logs',
+    EnvLogUniverseGenerator.py:91-94)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+@query(
+    "q31_fingerprint_dedup",
+    """
+    SELECT COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')
+           )), ' '))) AS n_fingerprints,
+           COUNT(DISTINCT md5(text)) AS n_exact
+    FROM documents
+    """,
+)
+def q31(spark, sf_dir):
+    """Canonical-fingerprint near-dup vs exact dedup cardinality."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(TX.fingerprint(F.col("text"))).alias("n_fingerprints"),
+        F.countDistinct(F.md5("text")).alias("n_exact"),
+    )
+
+
+@query(
+    "q32_ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 200)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(COUNT(*) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE), 6) AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    HAVING COUNT(*) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.2
+    """,
+)
+def q32(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (exact form; the LSH scale path is
+    q38/tests).  Restricted to doc_id < 200 to bound the oracle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+
+
+# =========================================================================
+# Text analysis (lang-id, quality, tokens)
+# =========================================================================
+
+@query(
+    "q33_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END), 4) AS avg_tokens,
+           ROUND(AVG(CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                               / CAST(length(text) AS DOUBLE) END), 6) AS avg_punct
+    FROM documents GROUP BY lang
+    """,
+)
+def q33(spark, sf_dir):
+    """Token counting + punctuation-ratio quality signals per language."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(TX.token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg(TX.punct_ratio(F.col("text"))), 6).alias("avg_punct"),
+    )
+
+
+@query(
+    "q34_lang_guess",
+    """
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(toks, x -> x IN ('the','and','of','is','you'))) AS h_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','ist','nicht'))) AS h_de,
+             len(list_filter(toks, x -> x IN ('le','la','et','est','les'))) AS h_fr,
+             len(list_filter(toks, x -> x IN ('el','de','que','y','los'))) AS h_es
+      FROM (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+    )
+    SELECT lang, guess, COUNT(*) AS cnt FROM (
+      SELECT lang,
+             CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                  WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                  ELSE 'es' END AS guess
+      FROM scored)
+    GROUP BY lang, guess
+    """,
+)
+def q34(spark, sf_dir):
+    """n-gram-heuristic language ID vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", TX.lang_guess(F.col("text")).alias("guess")
+    ).agg(F.count("*").alias("cnt"))
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+@query(
+    "q35_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                         c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 3
+    """,
+)
+def q35(spark, sf_dir):
+    """Brute-force cosine top-k (float scores omitted from the compare:
+    engines differ in low-order bits; neighbor identity + rank is the
+    stable contract)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, qs, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@query(
+    "q36_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    """,
+)
+def q36(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs at 0.99."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.99
+    ).select("id_a", "id_b")
+
+
+# =========================================================================
+# Multimodal plumbing (binary payloads + typed metadata)
+# =========================================================================
+
+@query(
+    "q37_multimodal_decode",
+    """
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           COUNT(*) AS n,
+           SUM(length(text) % 640 + 16) AS total_width,
+           SUM(CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END) AS total_frames
+    FROM documents GROUP BY 1
+    """,
+)
+def q37(spark, sf_dir):
+    """Binary media column -> mapInPandas decode stage -> metadata agg.
+    The decode is a deterministic stub (codec libs absent); the plumbing
+    (binary schema, Arrow batches, vectorized kernel) is real."""
+    d = _t(spark, sf_dir, "documents")
+    packed = multimodal.pack_media(d, "doc_id", "text")
+    decoded = multimodal.decode_media(packed)
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.sum("width").cast("bigint").alias("total_width"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+    )
+
+
+# =========================================================================
+# Sketch queries — rows-only (no SQL oracle can reproduce an estimate);
+# each returns (estimate, exact, bound, ok) so the smoke check is
+# self-validating.  Bound assertions live in tests/.
+# =========================================================================
+
+def _sketch_summary(spark, rows):
+    clean = [
+        (str(m), float(e), float(x), float(b), bool(o)) for m, e, x, b, o in rows
+    ]
+    return spark.createDataFrame(
+        clean, "metric string, estimate double, exact double, bound double, ok boolean"
+    )
+
+
+@query("q38_hll_distinct")
+def q38(spark, sf_dir):
+    """HLL distinct user_id vs exact (A1 replacement — the reference's
+    hash-set enumeration at EnvPolicyEvaluator.py:106-169)."""
+    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
+    from associationabacminer_spark.sketch import HyperLogLog
+
+    ev = _t(spark, sf_dir, "events")
+    ks = sketch_aggregate(
+        ev.select(F.col("user_id").cast("string").alias("user_id")),
+        [SketchSpec("hll", HyperLogLog, "user_id", kernel_cls=HyperLogLog)],
+        num_groups=32,
+    )
+    est = ks["hll"].estimate()
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    bound = 3 * ks["hll"].relative_error
+    ok = abs(est - exact) <= max(1.0, bound * exact)
+    return _sketch_summary(
+        spark, [("hll_distinct_users", float(est), float(exact), bound, bool(ok))]
+    )
+
+
+@query("q39_cms_heavy_hitters")
+def q39(spark, sf_dir):
+    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
+    from associationabacminer_spark.sketch import CountMinSketch
+    import numpy as np
+
+    ev = _t(spark, sf_dir, "events")
+    ks = sketch_aggregate(
+        ev.select("event_type"),
+        [
+            SketchSpec(
+                "cms",
+                lambda: CountMinSketch(width=2048, depth=5),
+                "event_type",
+                kernel_cls=CountMinSketch,
+            )
+        ],
+        num_groups=32,
+    )
+    cms = ks["cms"]
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    keys = np.array(sorted(exact), dtype=object)
+    ests = cms.query(keys)
+    rows = [
+        (
+            f"cms_freq_{k}",
+            float(e),
+            float(exact[k]),
+            float(cms.eps * cms.total),
+            bool(exact[k] <= e <= exact[k] + cms.eps * cms.total),
+        )
+        for k, e in zip(keys, ests)
+    ]
+    return _sketch_summary(spark, rows)
+
+
+@query("q40_kll_quantiles")
+def q40(spark, sf_dir):
+    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
+    from associationabacminer_spark.sketch import KLL
+
+    ev = _t(spark, sf_dir, "events")
+    ks = sketch_aggregate(
+        ev.select(F.col("value").cast("double").alias("value")),
+        [SketchSpec("kll", lambda: KLL(k=200), "value", kernel_cls=KLL)],
+        num_groups=32,
+    )
+    kll = ks["kll"]
+    n = ev.count()
+    rows = []
+    for q in (0.1, 0.5, 0.9, 0.99):
+        v = kll.quantile(q)
+        lo = ev.filter(F.col("value") < v).count() / n
+        hi = ev.filter(F.col("value") <= v).count() / n
+        tol = 2 * kll.rank_error + 0.005
+        ok = (lo - tol) <= q <= (hi + tol)
+        rows.append((f"kll_q{q}", float(v), float((lo + hi) / 2), tol, bool(ok)))
+    return _sketch_summary(spark, rows)
+
+
+@query("q41_tdigest_latency")
+def q41(spark, sf_dir):
+    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
+    from associationabacminer_spark.operators.windows import inter_event_latency
+    from associationabacminer_spark.sketch import TDigest
+
+    ev = _t(spark, sf_dir, "events")
+    lat = (
+        inter_event_latency(ev, "user_id", "ts")
+        .filter(F.col("latency_s").isNotNull())
+        .select("latency_s")
+        .cache()
+    )
+    ks = sketch_aggregate(
+        lat,
+        [SketchSpec("td", lambda: TDigest(delta=200), "latency_s", kernel_cls=TDigest)],
+        num_groups=32,
+    )
+    td = ks["td"]
+    n = lat.count()
+    rows = []
+    for q in (0.5, 0.99):
+        v = td.quantile(q)
+        lo = lat.filter(F.col("latency_s") < v).count() / n
+        hi = lat.filter(F.col("latency_s") <= v).count() / n
+        ok = (lo - 0.02) <= q <= (hi + 0.02)
+        rows.append((f"td_latency_q{q}", float(v), float((lo + hi) / 2), 0.02, bool(ok)))
+    lat.unpersist()
+    return _sketch_summary(spark, rows)
+
+
+@query("q42_bloom_membership")
+def q42(spark, sf_dir):
+    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
+    from associationabacminer_spark.sketch import BloomFilter
+    import numpy as np
+
+    ev = _t(spark, sf_dir, "events")
+    n_users = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    ks = sketch_aggregate(
+        ev.select(F.col("user_id").cast("string").alias("user_id")),
+        [
+            SketchSpec(
+                "bloom",
+                lambda: BloomFilter.from_capacity(max(1000, n_users * 2), 0.01),
+                "user_id",
+                kernel_cls=BloomFilter,
+            )
+        ],
+        num_groups=32,
+    )
+    bloom = ks["bloom"]
+    present = np.array(
+        [str(r["user_id"]) for r in ev.select("user_id").distinct().collect()],
+        dtype=object,
+    )
+    absent = np.array([f"ghost-{i}" for i in range(20_000)], dtype=object)
+    fn_rate = float(1.0 - bloom.contains(present).mean())
+    fp_rate = float(bloom.contains(absent).mean())
+    return _sketch_summary(
+        spark,
+        [
+            ("bloom_false_negatives", fn_rate, 0.0, 0.0, bool(fn_rate == 0.0)),
+            ("bloom_false_positives", fp_rate, 0.0, 0.02, bool(fp_rate <= 0.02)),
+        ],
+    )
+
+
+@query("q43_minhash_lsh_pairs")
+def q43(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (rows-only; candidate recall vs the
+    exact Jaccard oracle is asserted in tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_dedup(
+        d, "text", "doc_id", num_perm=32, bands=8, n=3, threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+@query("q44_simhash_pairs")
+def q44(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only; pure-Spark bit arithmetic)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sim = dedup.simhash64(d, "text", "doc_id")
+    return dedup.simhash_near_pairs(sim, max_hamming=8, prefix_bits=8)
+
+
+@query("q45_ann_lsh_topk")
+def q45(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (rows-only; recall vs
+    brute force asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_lsh_topk(emb, qs, "vec_id", "embedding", k=3, planes=4)
+
+
+@query("q46_rule_mining")
+def q46(spark, sf_dir):
+    """FP-growth greedy rule mining end-to-end (rows-only: iterative
+    algorithm, not SQL-expressible; SURVEY §2.6 F1-F5)."""
+    from associationabacminer_spark.operators.rulemine import mine_rules
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour_bin", N.hour_bin_simple("ts", 4).cast("string")
+    ).withColumn("user_bucket", (F.col("user_id") % 5).cast("string"))
+    policy = mine_rules(
+        ev, ["event_type", "hour_bin", "user_bucket"], min_support=0.1, max_rules=5
+    )
+    rows = [
+        (
+            i,
+            "&".join(f"{k}={v}" for k, v in sorted(r.constraints.items())),
+            r.support,
+            float(round(r.score, 6)),
+        )
+        for i, r in enumerate(policy.rules)
+    ]
+    return spark.createDataFrame(
+        rows, "rule_idx int, constraints string, support long, score double"
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

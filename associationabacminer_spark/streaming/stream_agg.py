@@ -1,0 +1,72 @@
+"""Structured Streaming variants of the engine's aggregations.
+
+The reference has no streaming at all — its 'windows' are reprocessed
+batch jobs from a Mongo queue (SURVEY.md §2.9 W1).  Here the same
+semantics run incrementally: watermarked sliding event-time windows, and
+a ``foreachBatch`` sketch builder that folds each micro-batch into the
+mergeable kernels (exactly-once per epoch id is the caller's concern;
+sketch merge idempotence makes at-least-once safe for HLL/Bloom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_window_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    width: str = "3 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked sliding window counts — the streaming twin of
+    ``operators.windows.window_counts`` (same output schema + group
+    columns), late data beyond ``watermark`` dropped."""
+    g = [F.window(ts_col, width, slide).alias("w")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*g)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *(group_cols or []),
+            "n",
+        )
+    )
+
+
+def streaming_sketch_build(
+    stream: DataFrame,
+    specs,
+    state: dict,
+    num_groups: int = 16,
+):
+    """foreachBatch sink that folds every micro-batch into ``state``
+    ({sketch_name: kernel}) via the batch harness.  Returns the function
+    to pass to ``writeStream.foreachBatch``.
+
+    Mergeable sketches make incremental aggregation trivial: each epoch
+    builds partial sketches distributed, then merges into the running
+    state on the driver — the streaming analog of the two-stage tree.
+    """
+    from associationabacminer_spark.operators.agg import sketch_aggregate
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = sketch_aggregate(batch_df, specs, num_groups=num_groups)
+        for name, kernel in partial.items():
+            if name in state:
+                state[name] = type(kernel).merge(state[name], kernel)
+            else:
+                state[name] = kernel
+
+    return fold

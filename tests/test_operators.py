@@ -1,0 +1,278 @@
+"""Operator-tier tests: dedup recall, ANN recall, scalar functions,
+multimodal plumbing, rule mining, streaming parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from associationabacminer_spark.functions import normalize as N
+from associationabacminer_spark.functions import text as TX
+from associationabacminer_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "spark query engines compile logical plans into physical operators"),
+        (3, "spark query engines compile logical plans into physical operators"),  # exact dup of 2
+        (4, "Spark Query engines, compile logical plans into physical operators!"),  # fp-dup of 2
+        (5, "completely unrelated text about cooking pasta with tomato sauce"),
+        (6, "der hund ist nicht in der küche und die katze ist da"),
+        (7, "the cat and the dog and the bird is in the house you see"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, docs):
+        kept = dedup.exact_dedup(docs, "text", "doc_id")
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert 2 in ids and 3 not in ids
+        assert len(ids) == 7
+
+    def test_fingerprint_groups_catch_case_punct(self, docs):
+        groups = dedup.fingerprint_dedup_groups(docs, "text", "doc_id").collect()
+        grouped_ids = {tuple(r["ids"]) for r in groups}
+        assert (2, 3, 4) in grouped_ids
+
+    def test_jaccard_pairs_find_near_dup(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in got and (2, 3) in got
+
+    def test_minhash_lsh_recall(self, docs):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.5
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_dedup(
+                docs, "text", "doc_id", num_perm=32, bands=16, n=3, threshold=0.5
+            ).collect()
+        }
+        # LSH re-checks exact jaccard on candidates: no false positives,
+        # and high-similarity pairs must be recalled
+        assert lsh <= exact
+        assert (2, 3) in lsh  # identical docs always collide
+
+    def test_simhash_identical_and_near(self, docs):
+        sim = dedup.simhash64(docs, "text", "doc_id")
+        vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+        assert vals[2] == vals[3]  # identical text -> identical simhash
+        # near-dup 0/1 differ in one word -> small hamming distance
+        h = bin((vals[0] ^ vals[1]) & ((1 << 64) - 1)).count("1")
+        assert h <= 12
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((60, 16))
+        # make 5 clusters by repeating + jitter
+        rows = []
+        for i in range(60):
+            rows.append((i, [float(x) for x in base[i % 12] + 0.05 * base[i]]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_cosine_matches_numpy(self, emb, spark):
+        rows = emb.orderBy("vec_id").limit(2).collect()
+        a, b = np.array(rows[0]["embedding"]), np.array(rows[1]["embedding"])
+        expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        got = (
+            emb.alias("x")
+            .crossJoin(emb.alias("y"))
+            .filter((F.col("x.vec_id") == 0) & (F.col("y.vec_id") == 1))
+            .select(
+                similarity.cosine(F.col("x.embedding"), F.col("y.embedding")).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+        assert abs(got - expected) < 1e-9
+
+    def test_ann_recall_vs_brute_force(self, emb):
+        qs = emb.filter(F.col("vec_id") < 6)
+        bf = similarity.brute_force_topk(emb, qs, k=3)
+        ann = similarity.ann_lsh_topk(emb, qs, k=3, planes=3)
+        bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+        ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+        recall = len(bf_set & ann_set) / len(bf_set)
+        assert recall >= 0.5  # 3 planes -> 8 buckets over clustered data
+
+
+class TestFunctions:
+    def test_crud_weekday_hourbin(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("CreateUser", "2024-01-06 13:30:00"),  # saturday
+                ("DescribeInstances", "2024-01-08 05:00:00"),  # monday
+                ("DeleteBucket", "2024-01-10 23:10:00"),
+            ],
+            "name string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        out = df.select(
+            N.crud_verb("name").alias("verb"),
+            N.weekday("ts").alias("wd"),
+            N.is_weekend("ts").alias("we"),
+            N.hour_bin_simple("ts", 4).alias("hb"),
+        ).collect()
+        assert [r["verb"] for r in out] == ["Create", "Read", "Delete"]
+        assert [r["wd"] for r in out] == [5, 0, 2]
+        assert [r["we"] for r in out] == [True, False, False]
+        assert [r["hb"] for r in out] == [2, 0, 3]
+
+    def test_ip_and_arn(self, spark):
+        df = spark.createDataFrame(
+            [("10.1.2.3", "arn:aws:s3:us-east-1:123:bucket/key")],
+            "ip string, arn string",
+        )
+        r = df.select(
+            N.ip_normalize("ip").alias("ip"),
+            N.arn_resource_type("arn").alias("rt"),
+        ).collect()[0]
+        assert r["ip"] == "vpc.internal"
+        assert r["rt"] == "bucket"
+
+    def test_text_functions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The quick brown fox."), (2, ""), (3, "el que y los de")],
+            "id long, text string",
+        )
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                TX.token_count("text").alias("tc"),
+                TX.lang_guess("text").alias("lg"),
+                TX.fingerprint("text").alias("fp"),
+            ).collect()
+        }
+        assert rows[1]["tc"] == 4
+        assert rows[2]["tc"] == 0
+        assert rows[1]["lg"] == "en"
+        assert rows[3]["lg"] == "es"
+        assert rows[2]["lg"] == "und"
+        assert len(rows[1]["fp"]) == 32
+
+    def test_constraint_predicate(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x")], "k1 string, k2 string"
+        )
+        pred = N.constraint_predicate({"k1": ["a"], "k2": ["x", "y"]})
+        assert df.filter(pred).count() == 2
+
+
+class TestMultimodal:
+    def test_pack_decode_frame_sample(self, docs):
+        packed = multimodal.pack_media(docs, "doc_id", "text")
+        assert dict(packed.dtypes)["payload"] == "binary"
+        decoded = multimodal.decode_media(packed)
+        rows = decoded.collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            assert r["width"] == r["n_bytes"] % 640 + 16
+            assert len(r["feature"]) == 8
+        frames = multimodal.frame_sample(decoded, every_n=5)
+        assert frames.count() >= 0  # only video rows explode
+
+    def test_strict_decode_raises(self, docs):
+        packed = multimodal.pack_media(docs, "doc_id", "text")
+        with pytest.raises(Exception):
+            multimodal.decode_media(packed, strict=True).collect()
+
+
+class TestRuleMining:
+    def test_mine_and_score(self, spark):
+        from associationabacminer_spark.operators.rulemine import (
+            mine_rules,
+            score_policy,
+        )
+
+        rows = []
+        for i in range(400):
+            et = "view" if i % 2 == 0 else ("purchase" if i % 4 == 1 else "error")
+            rows.append((et, str(i % 3)))
+        df = spark.createDataFrame(rows, "event_type string, bucket string")
+        policy = mine_rules(df, ["event_type", "bucket"], min_support=0.2, max_rules=4)
+        assert policy.rules, "should mine at least one rule"
+        covered = df.filter(policy.allows()).count()
+        assert covered >= 0.5 * df.count()
+
+        scores = score_policy(policy, df, universe_counts={"et": 3, "b": 3})
+        assert 0.0 <= scores["recall"] <= 1.0
+        assert scores["tp"] + scores["fn"] == df.count()
+
+    def test_empty_policy_divzero_redefinitions(self, spark):
+        from associationabacminer_spark.operators.rulemine import Policy, score_policy
+
+        df = spark.createDataFrame([("x",)], "event_type string")
+        s = score_policy(Policy(), df.limit(0), universe_counts={})
+        assert s["precision"] == 1.0 and s["recall"] == 1.0
+
+
+class TestStreaming:
+    def test_streaming_window_counts_match_batch(self, spark, tmp_path):
+        from associationabacminer_spark.operators.windows import window_counts
+        from associationabacminer_spark.streaming import streaming_window_counts
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        schema = ev.schema
+        src = str(tmp_path / "stream-src")
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_window_counts(stream, "ts", "3 days", "1 day", watermark="30 days")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("winout")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (str(r["window_start"]), r["n"])
+                for r in spark.sql("select * from winout").collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            (str(r["window_start"]), r["n"])
+            for r in window_counts(ev, "ts", "3 days", "1 day").collect()
+        }
+        assert got == want
+
+    def test_foreach_batch_sketch_fold(self, spark, tmp_path):
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.sketch import HyperLogLog
+        from associationabacminer_spark.streaming import streaming_sketch_build
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            F.col("user_id").cast("string").alias("user_id")
+        )
+        src = str(tmp_path / "sketch-src")
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        state: dict = {}
+        fold = streaming_sketch_build(
+            stream,
+            [SketchSpec("hll", HyperLogLog, "user_id", kernel_cls=HyperLogLog)],
+            state,
+            num_groups=8,
+        )
+        q = stream.writeStream.foreachBatch(fold).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        exact = ev.distinct().count()
+        est = state["hll"].estimate()
+        assert abs(est - exact) <= max(1.0, 3 * state["hll"].relative_error * exact)
