@@ -83,15 +83,50 @@ class BloomFilter:
         return out
 
     def serialize(self) -> bytes:
-        head = _MAGIC + struct.pack("<qIq", self.m, self.k, self.n_inserted)
+        """Dense (raw words) or sparse (set-bit positions) — whichever is
+        smaller.  Partial per-partition states are mostly-zero bit arrays;
+        sparse encoding shrinks the shuffle payload of the tree merge by
+        orders of magnitude at high partition counts (the 100 TB path)."""
+        set_bits = self._set_bit_positions()
+        dense_size = len(self.words) * 8
+        if len(set_bits) * 8 < dense_size:
+            head = _MAGIC + struct.pack(
+                "<qIqBq", self.m, self.k, self.n_inserted, 1, len(set_bits)
+            )
+            return head + set_bits.astype("<i8").tobytes()
+        head = _MAGIC + struct.pack(
+            "<qIqBq", self.m, self.k, self.n_inserted, 0, len(self.words)
+        )
         return head + self.words.astype("<u8").tobytes()
+
+    def _set_bit_positions(self) -> np.ndarray:
+        nz = np.flatnonzero(self.words)
+        if len(nz) == 0:
+            return np.empty(0, dtype=np.int64)
+        bits = (
+            self.words[nz][:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+        ) & np.uint64(1)
+        word_idx, bit_idx = np.nonzero(bits)
+        return (nz[word_idx].astype(np.int64) << 6) | bit_idx.astype(np.int64)
 
     @staticmethod
     def deserialize(data: bytes) -> "BloomFilter":
         if data[:4] != _MAGIC:
             raise ValueError("not a Bloom blob")
-        m, k, n = struct.unpack("<qIq", data[4:24])
+        m, k, n, mode, cnt = struct.unpack("<qIqBq", data[4:33])
         out = BloomFilter(m, k)
-        out.words = np.frombuffer(data[24:], dtype="<u8").astype(np.uint64)
         out.n_inserted = n
+        payload = data[33:]
+        if mode == 1:
+            pos = np.frombuffer(payload, dtype="<i8", count=cnt).astype(np.int64)
+            if len(pos):
+                np.bitwise_or.at(
+                    out.words,
+                    pos >> 6,
+                    np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)),
+                )
+        else:
+            out.words = np.frombuffer(payload, dtype="<u8", count=cnt).astype(
+                np.uint64
+            )
         return out

@@ -87,19 +87,46 @@ class CountMinSketch:
 
     # -- serde --------------------------------------------------------------
     def serialize(self) -> bytes:
-        head = _MAGIC + struct.pack("<IIq", self.width, self.depth, self.total)
+        """Dense or sparse (flat-index, value) pairs — whichever is
+        smaller.  Per-partition partials over low-cardinality keys touch
+        d * n_distinct cells of the d x w table; sparse encoding keeps
+        the tree-merge shuffle payload proportional to distinct keys,
+        not sketch width (the 100 TB path)."""
+        flat = self.table.ravel()
+        nz = np.flatnonzero(flat)
+        dense_size = flat.size * 8
+        if len(nz) * 16 < dense_size:
+            head = _MAGIC + struct.pack(
+                "<IIqBq", self.width, self.depth, self.total, 1, len(nz)
+            )
+            return (
+                head
+                + nz.astype("<i8").tobytes()
+                + flat[nz].astype("<i8").tobytes()
+            )
+        head = _MAGIC + struct.pack(
+            "<IIqBq", self.width, self.depth, self.total, 0, flat.size
+        )
         return head + self.table.astype("<i8").tobytes()
 
     @staticmethod
     def deserialize(data: bytes) -> "CountMinSketch":
         if data[:4] != _MAGIC:
             raise ValueError("not a CMS blob")
-        width, depth, total = struct.unpack("<IIq", data[4:20])
+        width, depth, total, mode, cnt = struct.unpack("<IIqBq", data[4:29])
         out = CountMinSketch(width, depth)
-        out.table = (
-            np.frombuffer(data[20:], dtype="<i8", count=width * depth)
-            .reshape(depth, width)
-            .astype(np.int64)
-        )
         out.total = total
+        payload = data[29:]
+        if mode == 1:
+            idx = np.frombuffer(payload, dtype="<i8", count=cnt).astype(np.int64)
+            vals = np.frombuffer(payload[cnt * 8 :], dtype="<i8", count=cnt).astype(
+                np.int64
+            )
+            out.table.ravel()[idx] = vals
+        else:
+            out.table = (
+                np.frombuffer(payload, dtype="<i8", count=width * depth)
+                .reshape(depth, width)
+                .astype(np.int64)
+            )
         return out

@@ -1,0 +1,154 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total seconds), "unit": "sec",
+"queries": {name: sec}, "sf", plus throughput extras}.
+
+The sketch-build throughput component runs over a deterministic synthetic
+transcript table (the BASELINE.json input_hint shape) generated once
+under .synth/ — scaling-efficiency evidence (local[8] vs local[32]) is
+produced separately by bench/run_scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_join_region_revenue",
+    "q05_anti_join",
+    "q07_user_optype_multimap",
+    "q12_topk_parts",
+    "q15_user_latency",
+    "q17_sliding_windows",
+    "q30_exact_dedup",
+    "q31_fingerprint_dedup",
+    "q33_token_stats",
+    "q34_lang_guess",
+    "q35_cosine_topk",
+    "q37_multimodal_decode",
+    "q38_hll_distinct",
+    "q40_kll_quantiles",
+    "q43_minhash_lsh_pairs",
+]
+
+BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates
+
+
+def ensure_transcripts(spark, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from associationabacminer_spark.sources.transcripts import generate_transcripts
+
+    generate_transcripts(spark, n_convs=BENCH_CONVS, seed=42).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from associationabacminer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus)
+
+    import associationabacminer_spark.queries as Q
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = Q.QUERIES[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # sketch-build throughput on the transcript table (the north metric)
+    synth = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".synth", "bench_transcripts")
+    ensure_transcripts(spark, synth)
+    import runpy
+
+    sys.argv = ["sketch_job", "--data", synth, "--groups", str(int(cpus) * 2)]
+    t0 = time.perf_counter()
+    # inline the job (same session) rather than spark-submit for the
+    # per-round loop; run_scaling.py uses real spark-submit
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
+    from associationabacminer_spark.sketch import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        KLL,
+        TDigest,
+    )
+
+    df = spark.read.parquet(synth)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prepared = (
+        df.withColumn("text_len", F.length("text").cast("double"))
+        .withColumn(
+            "latency_s",
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w),
+        )
+        .select("conv_id", "tool", "text_len", "latency_s")
+    )
+    n_rows = df.count()
+    t0 = time.perf_counter()
+    sketch_aggregate(
+        prepared,
+        [
+            SketchSpec("hll_conv", HyperLogLog, "conv_id", kernel_cls=HyperLogLog),
+            SketchSpec(
+                "cms_tool",
+                lambda: CountMinSketch(width=4096, depth=5),
+                "tool",
+                kernel_cls=CountMinSketch,
+            ),
+            SketchSpec("kll_len", lambda: KLL(k=200), "text_len", kernel_cls=KLL),
+            SketchSpec(
+                "td_latency",
+                lambda: TDigest(delta=200),
+                "latency_s",
+                kernel_cls=TDigest,
+            ),
+            SketchSpec(
+                "bloom_conv",
+                lambda: BloomFilter.from_capacity(2_000_000, 0.01),
+                "conv_id",
+                kernel_cls=BloomFilter,
+            ),
+        ],
+        num_groups=int(cpus) * 2,
+    )
+    sketch_s = time.perf_counter() - t0
+    timings["sketch_build_1p2M_turns"] = round(sketch_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + 5-sketch build wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "sketch_turns_per_sec": round(n_rows / sketch_s, 1),
+                "sketch_rows": n_rows,
+                "cores": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
