@@ -51,13 +51,21 @@ class SketchSpec:
     prepare derived values (e.g. inter-turn latency via a lag window)
     with ordinary Spark expressions *before* ``build_sketches`` so the
     heavy lifting stays JVM-side.
-    """
+
+    ``prehash=True`` (key-type sketches: HLL/CMS/Bloom) hashes the key
+    column JVM-side with codegen'd ``xxhash64`` and ships only int64
+    through Arrow — measured here, string columns through the Arrow
+    boundary anti-scale under many concurrent Python workers while int64
+    columns scale, and the transfer is several times smaller.  Query
+    keys must then be hashed with ``sketch.xxhash.xxh64_keys`` (bit-for-
+    bit Spark parity, tested)."""
 
     name: str
     factory: Callable[[], object]  # () -> kernel with update_batch/merge/serde
     column: str
     kernel_cls: type = None  # type: ignore[assignment]
     dropna: bool = True
+    prehash: bool = False
     params: dict = field(default_factory=dict)
 
     def make(self):
@@ -85,6 +93,28 @@ def salted_group_id(
     return (base * salts + salt).cast("int")
 
 
+def _projected(df: DataFrame, specs: list[SketchSpec], extra: list[str]):
+    """Project exactly the columns the build needs, pre-hashing key
+    columns JVM-side for ``prehash`` specs (null keys stay null so
+    ``dropna`` still works).  Returns (projected_df, per-spec input
+    column names)."""
+    cols: dict[str, object] = {c: F.col(c) for c in extra}
+    spec_cols: list[str] = []
+    for s in specs:
+        if s.prehash:
+            name = f"__xxh_{s.column}__"
+            if name not in cols:
+                cols[name] = F.when(
+                    F.col(s.column).isNotNull(), F.xxhash64(s.column)
+                )
+            spec_cols.append(name)
+        else:
+            cols[s.column] = F.col(s.column)
+            spec_cols.append(s.column)
+    proj = df.select(*[v.alias(k) for k, v in cols.items()])
+    return proj, spec_cols
+
+
 def build_sketches(
     df: DataFrame,
     specs: list[SketchSpec],
@@ -92,9 +122,21 @@ def build_sketches(
     group_expr=None,
     only_groups: list[int] | None = None,
     order_by: list[str] | None = None,
+    method: str = "map",
 ) -> DataFrame:
     """Stage 1: one pass over the data builds every spec's sketch per
     group; returns the lineage DataFrame (LINEAGE_SCHEMA).
+
+    ``method='map'`` (default): per-input-partition ``mapInPandas`` build
+    — ZERO extra shuffle; group id = spark_partition_id, streaming over
+    Arrow batches (never materializes a whole group in memory).  This is
+    the treeAggregate shape and the 100 TB default.  Deterministic for a
+    fixed input + partitioning (resume contract).
+
+    ``method='group'``: explicit ``groupBy(group_expr).applyInPandas``
+    with a deterministic content-hash (or ``salted_group_id``) key —
+    use when the build must follow a specific grouping (e.g. to reuse a
+    prior shuffle, or a fixed group count for a ledger).
 
     ``only_groups`` restricts the build to the listed group ids (the
     resume path: rebuild only partitions missing from the ledger).
@@ -102,27 +144,97 @@ def build_sketches(
     needed only for byte-identical reproducibility of the order-sensitive
     kernels (KLL/t-digest); HLL/CMS/Bloom commute elementwise.
     """
+    order_by = order_by or []
+    proj, spec_cols = _projected(df, specs, extra=order_by)
+    spec_list = [
+        (s.name, s.make, c, s.dropna, s.prehash)
+        for s, c in zip(specs, spec_cols)
+    ]
+
+    if method == "map":
+        tagged = proj.withColumn(_GROUP_COL, F.spark_partition_id())
+        if only_groups is not None:
+            tagged = tagged.filter(
+                F.col(_GROUP_COL).isin([int(g) for g in only_groups])
+            )
+
+        def build_stream(batches):
+            state: dict = {}
+            rows: dict = {}
+            times: dict = {}
+            gid = -1
+            buffered: list[pd.DataFrame] | None = [] if order_by else None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                gid = int(pdf[_GROUP_COL].iloc[0])
+                if buffered is not None:
+                    buffered.append(pdf)
+                    continue
+                for name, make, column, dropna, prehash in spec_list:
+                    t0 = time.perf_counter()
+                    if name not in state:
+                        state[name] = make()
+                        rows[name] = 0
+                        times[name] = 0.0
+                    col = pdf[column]
+                    if dropna:
+                        col = col.dropna()
+                    if len(col):
+                        if prehash:
+                            state[name].update_batch(col.to_numpy(), prehashed=True)
+                        else:
+                            state[name].update_batch(col.to_numpy())
+                        rows[name] += len(col)
+                    times[name] += time.perf_counter() - t0
+            if buffered:
+                pdf = pd.concat(buffered, ignore_index=True).sort_values(
+                    order_by, kind="stable"
+                )
+                for name, make, column, dropna, prehash in spec_list:
+                    t0 = time.perf_counter()
+                    state[name] = make()
+                    col = pdf[column]
+                    if dropna:
+                        col = col.dropna()
+                    rows[name] = len(col)
+                    if len(col):
+                        if prehash:
+                            state[name].update_batch(col.to_numpy(), prehashed=True)
+                        else:
+                            state[name].update_batch(col.to_numpy())
+                    times[name] = time.perf_counter() - t0
+            if state:
+                yield pd.DataFrame(
+                    {
+                        "group_id": [gid] * len(state),
+                        "sketch_name": list(state),
+                        "row_count": [rows[n] for n in state],
+                        "sketch": [state[n].serialize() for n in state],
+                        "wall_time_s": [times[n] for n in state],
+                    }
+                )
+
+        return tagged.mapInPandas(build_stream, schema=LINEAGE_SCHEMA)
+
+    # method == "group"
     if num_groups is None:
         num_groups = df.sparkSession.sparkContext.defaultParallelism * 2
-    order_by = order_by or []
-    needed = sorted({s.column for s in specs} | set(order_by))
     if group_expr is None:
         # deterministic uniform content-hash grouping: perfect balance for
         # order-insensitive sketches, identical across reruns (resume);
         # salted_group_id is the conv-anchored alternative
-        group_expr = F.pmod(F.xxhash64(*needed), F.lit(num_groups)).cast("int")
-    tagged = df.select(*needed).withColumn(_GROUP_COL, group_expr)
+        group_expr = F.pmod(F.xxhash64(*sorted(set(spec_cols) | set(order_by))), F.lit(num_groups)).cast("int")
+    tagged = proj.withColumn(_GROUP_COL, group_expr)
     if only_groups is not None:
         tagged = tagged.filter(F.col(_GROUP_COL).isin([int(g) for g in only_groups]))
-
-    spec_list = [(s.name, s.make, s.column, s.dropna) for s in specs]
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         gid = int(pdf[_GROUP_COL].iloc[0]) if len(pdf) else -1
         if order_by:
             pdf = pdf.sort_values(order_by, kind="stable")
         out = []
-        for name, make, column, dropna in spec_list:
+        for name, make, column, dropna, prehash in spec_list:
             t0 = time.perf_counter()
             kernel = make()
             col = pdf[column]
@@ -130,7 +242,10 @@ def build_sketches(
                 col = col.dropna()
             n = len(col)
             if n:
-                kernel.update_batch(col.to_numpy())
+                if prehash:
+                    kernel.update_batch(col.to_numpy(), prehashed=True)
+                else:
+                    kernel.update_batch(col.to_numpy())
             out.append(
                 (gid, name, n, kernel.serialize(), time.perf_counter() - t0)
             )
@@ -173,9 +288,11 @@ def tree_merge(
             }
         )
 
+    persisted = None
     if n_states is None:
-        # upper bound is enough for the loop; avoid forcing an extra job
-        # when the caller knows the group count
+        # the lineage is tiny (G x n_specs rows); persist so the count
+        # does not recompute the whole build
+        persisted = lineage = lineage.persist()
         n_states = lineage.select(F.countDistinct("group_id").alias("g")).collect()[
             0
         ]["g"]
@@ -194,6 +311,8 @@ def tree_merge(
     rows = sorted(
         current.collect(), key=lambda r: (r["sketch_name"], r["group_id"])
     )
+    if persisted is not None:
+        persisted.unpersist()
     out: dict[str, object] = {}
     for row in rows:
         k = deser[row["sketch_name"]](bytes(row["sketch"]))
@@ -210,12 +329,16 @@ def sketch_aggregate(
     num_groups: int | None = None,
     group_expr=None,
     fanout: int = 16,
+    method: str = "map",
 ) -> dict[str, object]:
     """build_sketches + tree_merge in one call -> {name: kernel}."""
-    if num_groups is None:
+    if method == "group" and num_groups is None:
         num_groups = df.sparkSession.sparkContext.defaultParallelism * 2
-    lineage = build_sketches(df, specs, num_groups=num_groups, group_expr=group_expr)
-    return tree_merge(lineage, specs, fanout=fanout, n_states=num_groups)
+    lineage = build_sketches(
+        df, specs, num_groups=num_groups, group_expr=group_expr, method=method
+    )
+    n_states = num_groups if method == "group" else None
+    return tree_merge(lineage, specs, fanout=fanout, n_states=n_states)
 
 
 def _deserializer(spec: SketchSpec):

@@ -34,9 +34,15 @@ class Rule:
     constraints: dict[str, str]  # key -> value (single-valued per mining round)
     support: int = 0
     score: float = 0.0
+    metrics: dict = field(default_factory=dict)
 
     def predicate(self):
-        return constraint_predicate({k: [v] for k, v in self.constraints.items()})
+        return constraint_predicate(
+            {
+                k: (list(v) if isinstance(v, (list, set, tuple)) else [v])
+                for k, v in self.constraints.items()
+            }
+        )
 
 
 @dataclass
@@ -85,23 +91,73 @@ def _itemset_to_rule(items: list[str], freq: int) -> Rule:
 
 
 def score_candidates(
-    uncovered: DataFrame, all_df: DataFrame, candidates: list[Rule]
+    uncovered: DataFrame,
+    all_df: DataFrame,
+    candidates: list[Rule],
+    dims: dict[str, str] | None = None,
+    beta: float = 1.0,
+    metric: str = "c_score",
 ) -> list[Rule]:
     """Score every candidate in ONE aggregation pass: build a boolean
     match column per rule, then conditional sums.  Replaces the
-    reference's 400-query msearch batches
-    (EnvOverassignmentCalculator.py:186-198) with one job."""
+    reference's 5-query-per-rule / 400-per-msearch batches
+    (/root/reference/src/eval/EnvOverassignmentCalculator.py:59-106,
+    186-198) with a single job.
+
+    Metric suite mirrors process_separated_buffered_results
+    (EnvOverassignmentCalculator.py:108-166):
+    - coverage  = covered / uncovered-total (the Qrul_freq family)
+    - overassignment rate ~ covered / |allowed universe of the rule|,
+      where |allowed| is FACTORIZED as the product of per-dimension
+      distinct counts under the rule (the O6 rewrite at lines 113-116)
+    - c_score   = (1+beta^2) * cov * oa / (beta^2 * oa + cov)
+      (beta-weighted harmonic mean, the paper's C-Score)
+    - product   = cov * oa
+    - l_dist    = sqrt((1-cov)^2 + (1-oa)^2)  (minimized)
+    - wsc penalty via constraint count (WscCalculator.py:24-53)
+    ``dims`` maps dimension name -> column for the factorized counts
+    (defaults to the constraint keys themselves)."""
     aggs = []
     for i, r in enumerate(candidates):
-        aggs.append(F.sum(F.when(r.predicate(), 1).otherwise(0)).alias(f"c{i}"))
+        pred = r.predicate()
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"c{i}"))
+        for dname, dcol in (dims or {}).items():
+            aggs.append(
+                F.countDistinct(F.when(pred, F.col(dcol))).alias(f"d{i}_{dname}")
+            )
     row = uncovered.agg(*aggs).collect()[0]
     n_uncovered = uncovered.count()
     for i, r in enumerate(candidates):
         covered = row[f"c{i}"] or 0
-        # C-Score-flavored metric: coverage fraction penalized by rule
-        # size (the wsc term, /root/reference/src/eval/WscCalculator.py:24-53)
-        r.score = covered / max(1, n_uncovered) - 0.001 * len(r.constraints)
+        cov = covered / max(1, n_uncovered)
+        allowed = 1.0
+        for dname in dims or {}:
+            allowed *= max(1, row[f"d{i}_{dname}"] or 0)
+        # without dimension info there is no universe estimate: treat the
+        # rule as tight (oa=1) so the metric reduces to coverage
+        oa = (covered / allowed) if dims else 1.0
         r.support = covered
+        r.metrics = {
+            "coverage": cov,
+            "overassignment": oa,
+            "c_score": (
+                (1 + beta**2) * cov * oa / (beta**2 * oa + cov)
+                if (cov + oa) > 0
+                else 0.0
+            ),
+            "product": cov * oa,
+            "l_dist": ((1 - cov) ** 2 + (1 - oa) ** 2) ** 0.5,
+            "wsc": float(len(r.constraints)),
+        }
+        if metric == "l_dist":
+            r.score = -r.metrics["l_dist"]  # minimized in the reference
+        elif metric in r.metrics:
+            r.score = r.metrics[metric]
+        else:
+            r.score = cov - 0.001 * len(r.constraints)
+        # M6 validity check (EnvOverassignmentCalculator.py:130-136)
+        if covered == 0:
+            r.score = float("-inf")
     return candidates
 
 
@@ -137,6 +193,61 @@ def mine_rules(
         # materialization between iterations (delete refresh=True analog)
         uncovered = uncovered.filter(~best.predicate()).localCheckpoint()
     return policy
+
+
+def merge_rules(policy: Policy) -> Policy:
+    """Pairwise rule merge to fixpoint (T6,
+    /root/reference/src/eval/RuleMerger.py:19-64): rules whose constraint
+    maps agree on all but one key collapse into one rule whose differing
+    key takes the union of values.  Driver-side (rules are few)."""
+    rules = [dict((k, {v} if isinstance(v, str) else set(v)) for k, v in r.constraints.items()) for r in policy.rules]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(rules)):
+            if changed:
+                break
+            for j in range(i + 1, len(rules)):
+                a, b = rules[i], rules[j]
+                if set(a) != set(b):
+                    continue
+                diff = [k for k in a if a[k] != b[k]]
+                if len(diff) <= 1:
+                    if diff:
+                        a[diff[0]] = a[diff[0]] | b[diff[0]]
+                    rules.pop(j)
+                    changed = True
+                    break
+    out = Policy()
+    for r in rules:
+        out.rules.append(
+            Rule(constraints={k: sorted(v) if len(v) > 1 else next(iter(v)) for k, v in r.items()})
+        )
+    return out
+
+
+def wsc(policy: Policy, weights: dict[str, float] | None = None) -> float:
+    """Weighted structural complexity (M4,
+    /root/reference/src/eval/WscCalculator.py:24-53): weighted count of
+    constraints per class of key."""
+    weights = weights or {}
+    total = 0.0
+    for r in policy.rules:
+        for k, v in r.constraints.items():
+            n_vals = len(v) if isinstance(v, (list, set, tuple)) else 1
+            total += weights.get(k, 1.0) * n_vals
+    return total
+
+
+def auc_from_points(fpr: list[float], tpr: list[float]) -> float:
+    """Trapezoidal ROC AUC over (FPR, TPR) points (M5,
+    /root/reference/src/job/AUCPrinter.py:22-37 — sklearn.metrics.auc
+    replaced by a dependency-free trapezoid on the tiny aggregate)."""
+    pts = sorted(zip(fpr, tpr))
+    area = 0.0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        area += (x1 - x0) * (y0 + y1) / 2.0
+    return area
 
 
 def score_policy(

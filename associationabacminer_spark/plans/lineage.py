@@ -62,7 +62,12 @@ def run_with_lineage(
 
     if existing is None:
         lineage = build_sketches(
-            df, specs, num_groups=num_groups, group_expr=group_expr, order_by=order_by
+            df,
+            specs,
+            num_groups=num_groups,
+            group_expr=group_expr,
+            order_by=order_by,
+            method="group",  # stable content-hash group ids for the ledger
         ).withColumn("run_id", F.lit(run_id))
         lineage.write.mode("overwrite").parquet(build_path)
     else:
@@ -79,6 +84,7 @@ def run_with_lineage(
                 group_expr=group_expr,
                 only_groups=missing,
                 order_by=order_by,
+                method="group",
             ).withColumn("run_id", F.lit(run_id))
             delta.write.mode("append").parquet(build_path)
 

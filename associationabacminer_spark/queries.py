@@ -907,9 +907,12 @@ def q38(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     ks = sketch_aggregate(
-        ev.select(F.col("user_id").cast("string").alias("user_id")),
-        [SketchSpec("hll", HyperLogLog, "user_id", kernel_cls=HyperLogLog)],
-        num_groups=32,
+        ev.select("user_id"),
+        [
+            SketchSpec(
+                "hll", HyperLogLog, "user_id", kernel_cls=HyperLogLog, prehash=True
+            )
+        ],
     )
     est = ks["hll"].estimate()
     exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
@@ -927,6 +930,8 @@ def q39(spark, sf_dir):
     import numpy as np
 
     ev = _t(spark, sf_dir, "events")
+    from associationabacminer_spark.sketch.xxhash import xxh64_keys
+
     ks = sketch_aggregate(
         ev.select("event_type"),
         [
@@ -935,9 +940,9 @@ def q39(spark, sf_dir):
                 lambda: CountMinSketch(width=2048, depth=5),
                 "event_type",
                 kernel_cls=CountMinSketch,
+                prehash=True,
             )
         ],
-        num_groups=32,
     )
     cms = ks["cms"]
     exact = {
@@ -945,7 +950,8 @@ def q39(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
     }
     keys = np.array(sorted(exact), dtype=object)
-    ests = cms.query(keys)
+    # query keys hashed driver-side with the Spark-parity xxh64
+    ests = cms.query(xxh64_keys(list(keys)), prehashed=True)
     rows = [
         (
             f"cms_freq_{k}",
@@ -968,7 +974,6 @@ def q40(spark, sf_dir):
     ks = sketch_aggregate(
         ev.select(F.col("value").cast("double").alias("value")),
         [SketchSpec("kll", lambda: KLL(k=200), "value", kernel_cls=KLL)],
-        num_groups=32,
     )
     kll = ks["kll"]
     n = ev.count()
@@ -999,7 +1004,6 @@ def q41(spark, sf_dir):
     ks = sketch_aggregate(
         lat,
         [SketchSpec("td", lambda: TDigest(delta=200), "latency_s", kernel_cls=TDigest)],
-        num_groups=32,
     )
     td = ks["td"]
     n = lat.count()
@@ -1022,26 +1026,25 @@ def q42(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     n_users = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    from associationabacminer_spark.sketch.xxhash import xxh64_keys
+
     ks = sketch_aggregate(
-        ev.select(F.col("user_id").cast("string").alias("user_id")),
+        ev.select("user_id"),
         [
             SketchSpec(
                 "bloom",
                 lambda: BloomFilter.from_capacity(max(1000, n_users * 2), 0.01),
                 "user_id",
                 kernel_cls=BloomFilter,
+                prehash=True,
             )
         ],
-        num_groups=32,
     )
     bloom = ks["bloom"]
-    present = np.array(
-        [str(r["user_id"]) for r in ev.select("user_id").distinct().collect()],
-        dtype=object,
-    )
-    absent = np.array([f"ghost-{i}" for i in range(20_000)], dtype=object)
-    fn_rate = float(1.0 - bloom.contains(present).mean())
-    fp_rate = float(bloom.contains(absent).mean())
+    present = [int(r["user_id"]) for r in ev.select("user_id").distinct().collect()]
+    absent = list(range(10_000_000, 10_020_000))  # ids outside the domain
+    fn_rate = float(1.0 - bloom.contains(xxh64_keys(present), prehashed=True).mean())
+    fp_rate = float(bloom.contains(xxh64_keys(absent), prehashed=True).mean())
     return _sketch_summary(
         spark,
         [
@@ -1112,3 +1115,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# =========================================================================
+# Statistics / feature-selection operators (SURVEY §2.12 E-family, S8)
+# =========================================================================
+
+@query(
+    "q47_crosstab",
+    """
+    SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source
+    """,
+)
+def q47(spark, sf_dir):
+    """Value crosstab (E5 input; scalable long-form, not wide pivot)."""
+    from associationabacminer_spark.operators.stats import value_crosstab
+
+    return value_crosstab(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+@query(
+    "q48_fd_strength",
+    """
+    SELECT l_returnflag,
+           ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS strength,
+           SUM(cnt) AS n_rows
+    FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2)
+    GROUP BY l_returnflag
+    """,
+)
+def q48(spark, sf_dir):
+    """Functional-dependency strength (E5 value-implication counting,
+    SeparatedVarianceSelector.py:134-252)."""
+    from associationabacminer_spark.operators.stats import (
+        functional_dependency_strength,
+    )
+
+    return functional_dependency_strength(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+
+
+@query(
+    "q49_deterministic_mask",
+    """
+    SELECT COUNT(DISTINCT sha256(concat(chr(31), c_name))) AS n_masked,
+           COUNT(DISTINCT c_name) AS n_raw
+    FROM customer
+    """,
+)
+def q49(spark, sf_dir):
+    """S8 anonymizer: keyed deterministic masking preserves cardinality
+    (/root/reference/src/event_anonymizer.py:54-108)."""
+    from associationabacminer_spark.operators.stats import deterministic_mask
+
+    c = _t(spark, sf_dir, "customer")
+    masked = deterministic_mask(c.select("c_name"), ["c_name"], salt="")
+    raw_d = c.select(F.countDistinct("c_name").alias("n_raw"))
+    mask_d = masked.select(F.countDistinct("c_name").alias("n_masked"))
+    return mask_d.crossJoin(raw_d)
+
+
+@query(
+    "q50_entropy",
+    """
+    SELECT ROUND(SUM(-p * log2(p)), 6) AS entropy FROM (
+      SELECT COUNT(*) / CAST((SELECT COUNT(*) FROM events) AS DOUBLE) AS p
+      FROM events GROUP BY event_type)
+    """,
+)
+def q50(spark, sf_dir):
+    """Shannon entropy of a categorical column (E6 building block)."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg((F.count("*") / F.lit(float(total))).alias("p"))
+        .agg(F.round(F.sum(-F.col("p") * F.log2("p")), 6).alias("entropy"))
+    )

@@ -39,9 +39,9 @@ class BloomFilter:
         k = max(1, round(m / n * math.log(2))) if n > 0 else 1
         return cls(m, k)
 
-    def _positions(self, values) -> np.ndarray:
+    def _positions(self, values, prehashed: bool = False) -> np.ndarray:
         # double hashing: pos_i = (h1 + i*h2) mod m  (Kirsch-Mitzenmacher)
-        hm = hash64_multi(values, np.array([0, 1], dtype=np.uint64))
+        hm = hash64_multi(values, np.array([0, 1], dtype=np.uint64), prehashed=prehashed)
         h1, h2 = hm[0], hm[1] | np.uint64(1)
         i = np.arange(self.k, dtype=np.uint64)[:, None]
         with np.errstate(over="ignore"):
@@ -49,21 +49,21 @@ class BloomFilter:
                 np.int64
             )
 
-    def update_batch(self, values) -> "BloomFilter":
+    def update_batch(self, values, prehashed: bool = False) -> "BloomFilter":
         if len(values) == 0:
             return self
-        pos = self._positions(values).ravel()
+        pos = self._positions(values, prehashed=prehashed).ravel()
         np.bitwise_or.at(
             self.words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
         )
         self.n_inserted += len(values)
         return self
 
-    def contains(self, values) -> np.ndarray:
+    def contains(self, values, prehashed: bool = False) -> np.ndarray:
         """Vectorized membership probe -> bool array."""
         if len(values) == 0:
             return np.empty(0, dtype=bool)
-        pos = self._positions(values)  # (k, n)
+        pos = self._positions(values, prehashed=prehashed)  # (k, n)
         bits = (
             self.words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))
         ) & np.uint64(1)

@@ -41,12 +41,16 @@ class CountMinSketch:
         return cls(width=math.ceil(math.e / eps), depth=math.ceil(math.log(1.0 / delta)))
 
     # -- update -------------------------------------------------------------
-    def update_batch(self, values, counts=None) -> "CountMinSketch":
-        """Absorb a batch; ``counts`` (optional int array) adds weighted mass."""
+    def update_batch(
+        self, values, counts=None, prehashed: bool = False
+    ) -> "CountMinSketch":
+        """Absorb a batch; ``counts`` (optional int array) adds weighted
+        mass.  ``prehashed=True``: values are upstream 64-bit key hashes
+        (query with the same convention, e.g. via xxhash.xxh64_keys)."""
         n = len(values)
         if n == 0:
             return self
-        hm = hash64_multi(values, np.arange(self.depth)) % np.uint64(self.width)
+        hm = hash64_multi(values, np.arange(self.depth), prehashed=prehashed) % np.uint64(self.width)
         if counts is None:
             weights = np.ones(n, dtype=np.int64)
         else:
@@ -57,11 +61,11 @@ class CountMinSketch:
         return self
 
     # -- query --------------------------------------------------------------
-    def query(self, values) -> np.ndarray:
+    def query(self, values, prehashed: bool = False) -> np.ndarray:
         """Vectorized point-frequency estimates for a batch of keys."""
         if len(values) == 0:
             return np.empty(0, dtype=np.int64)
-        hm = hash64_multi(values, np.arange(self.depth)) % np.uint64(self.width)
+        hm = hash64_multi(values, np.arange(self.depth), prehashed=prehashed) % np.uint64(self.width)
         ests = np.stack(
             [self.table[j][hm[j].astype(np.int64)] for j in range(self.depth)]
         )

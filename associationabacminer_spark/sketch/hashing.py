@@ -59,13 +59,30 @@ def _base_hash(values) -> np.ndarray:
     return pd.util.hash_pandas_object(arr, index=False).to_numpy(dtype=np.uint64)
 
 
-def hash64(values, seed: int = 0) -> np.ndarray:
+def _prehashed_base(values) -> np.ndarray:
+    """Interpret values as an already-computed 64-bit hash column (e.g.
+    Spark's ``xxhash64`` evaluated JVM-side), skipping the base hash.
+
+    This is the scale path: shipping pre-hashed int64 keys through Arrow
+    instead of strings both shrinks the transfer and — measured in this
+    sandbox — avoids the string-column Arrow path that anti-scales under
+    many concurrent Python workers."""
+    if isinstance(values, pd.Series):
+        values = values.to_numpy()
+    arr = np.asarray(values)
+    if arr.dtype == np.uint64:
+        return arr
+    return arr.astype(np.int64, copy=False).view(np.uint64)
+
+
+def hash64(values, seed: int = 0, prehashed: bool = False) -> np.ndarray:
     """Vectorized seeded 64-bit hash.
 
     Parameters
     ----------
     values : np.ndarray | pd.Series | sequence
-        Batch of values (ints, floats, strings, bytes).
+        Batch of values (ints, floats, strings, bytes) — or pre-hashed
+        int64 keys when ``prehashed`` is True.
     seed : int
         Hash-family selector (used by CMS rows, Bloom probes, minhash
         permutations).
@@ -74,18 +91,20 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     -------
     np.ndarray of uint64, same length as ``values``.
     """
-    base = _base_hash(values)
+    base = _prehashed_base(values) if prehashed else _base_hash(values)
+    if prehashed and seed == 0:
+        return base  # already well-mixed 64-bit values
     with np.errstate(over="ignore"):
         return splitmix64(base ^ (splitmix64(np.array([seed], dtype=np.uint64))[0]))
 
 
-def hash64_multi(values, seeds: np.ndarray) -> np.ndarray:
+def hash64_multi(values, seeds: np.ndarray, prehashed: bool = False) -> np.ndarray:
     """Hash one batch under many seeds at once -> shape (len(seeds), n).
 
     One base-hash pass, then a cheap splitmix re-mix per seed — this is
     what keeps d-row CMS updates and k-probe Bloom inserts vectorized.
     """
-    base = _base_hash(values)
+    base = _prehashed_base(values) if prehashed else _base_hash(values)
     seed_mix = splitmix64(np.asarray(seeds, dtype=np.uint64))
     with np.errstate(over="ignore"):
         return splitmix64(base[None, :] ^ seed_mix[:, None])

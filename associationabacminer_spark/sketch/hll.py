@@ -54,9 +54,14 @@ class HyperLogLog:
         return self.m // 4
 
     # -- update -------------------------------------------------------------
-    def update_batch(self, values, seed: int = 0) -> "HyperLogLog":
-        """Absorb a batch of values (vectorized, no per-row Python)."""
-        h = hash64(values, seed=seed)
+    def update_batch(
+        self, values, seed: int = 0, prehashed: bool = False
+    ) -> "HyperLogLog":
+        """Absorb a batch of values (vectorized, no per-row Python).
+
+        ``prehashed=True`` treats ``values`` as 64-bit hashes computed
+        upstream (e.g. Spark ``xxhash64`` JVM-side — the scale path)."""
+        h = hash64(values, seed=seed, prehashed=prehashed)
         return self.update_hashes(h)
 
     def update_hashes(self, h: np.ndarray) -> "HyperLogLog":

@@ -264,3 +264,61 @@ class TestTDigest:
         td2 = TDigest.deserialize(blob)
         assert td2.serialize() == blob
         assert td2.quantile(0.5) == td.quantile(0.5)
+
+
+# ---------------------------------------------------------------- xxhash / prehash
+class TestXXHashAndPrehash:
+    def test_xxh64_reference_vectors(self):
+        from associationabacminer_spark.sketch.xxhash import (
+            xxh64_bytes,
+            xxh64_int64,
+            xxh64_keys,
+        )
+
+        # Spark-produced values (verified live against F.xxhash64, seed 42)
+        assert xxh64_bytes(b"", 42) == (-7444071767201028348 % 2**64)
+        assert xxh64_bytes(b"a", 42) == (-8582455328737087284 % 2**64)
+        assert xxh64_int64(np.array([0]))[0] == xxh64_bytes(
+            (0).to_bytes(8, "little"), 42
+        )
+        ints = np.array([1, -1, 2**62, -(2**62), 123456789], dtype=np.int64)
+        vec = xxh64_int64(ints)
+        ref = xxh64_keys(list(ints))
+        assert (vec == ref).all()
+
+    def test_prehashed_kernels_match_bounds(self):
+        from associationabacminer_spark.sketch.xxhash import xxh64_int64
+
+        keys = RNG.integers(0, 20_000, size=100_000)
+        hashes = xxh64_int64(keys)
+
+        h = HyperLogLog(p=14).update_batch(hashes, prehashed=True)
+        exact = len(np.unique(keys))
+        assert abs(h.estimate() - exact) <= 3 * h.relative_error * exact
+
+        cms = CountMinSketch(width=4096, depth=5).update_batch(hashes, prehashed=True)
+        uniq, cnts = np.unique(keys, return_counts=True)
+        est = cms.query(xxh64_int64(uniq), prehashed=True)
+        assert (est >= cnts).all()
+        assert (est - cnts <= cms.eps * cms.total).all()
+
+        bf = BloomFilter.from_capacity(40_000, 0.01).update_batch(
+            hashes, prehashed=True
+        )
+        assert bf.contains(xxh64_int64(uniq), prehashed=True).all()
+        absent = xxh64_int64(np.arange(1_000_000, 1_020_000))
+        assert bf.contains(absent, prehashed=True).mean() <= 0.02
+
+    def test_prehashed_merge_matches_single_pass(self):
+        from associationabacminer_spark.sketch.xxhash import xxh64_int64
+
+        keys = RNG.integers(0, 5_000, size=50_000)
+        hashes = xxh64_int64(keys)
+        single = HyperLogLog(p=14).update_batch(hashes, prehashed=True)
+        parts = split_random(hashes, 6, seed=9)
+        merged = HyperLogLog(p=14)
+        for p_ in parts:
+            merged = HyperLogLog.merge(
+                merged, HyperLogLog(p=14).update_batch(p_, prehashed=True)
+            )
+        assert merged.estimate() == single.estimate()

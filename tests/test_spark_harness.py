@@ -224,7 +224,7 @@ class TestResume:
             # simulate executor loss: build a partial ledger holding only
             # half the groups, then resume
             partial_path = tmp + "/partial"
-            lineage = build_sketches(prepared, specs, num_groups=32)
+            lineage = build_sketches(prepared, specs, num_groups=32, method="group")
             kept = lineage.filter(F.col("group_id") < 16).withColumn(
                 "run_id", F.lit("r1")
             )
