@@ -1,0 +1,61 @@
+"""The flagship transcript sketch suite: the five north-star sketches over
+the input_hint table, with the measured at-scale plan shape
+(slim-before-shuffle, JVM-side key hashing, zero-shuffle map build).
+Shared by bench.py, bench/sketch_job.py and tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from associationabacminer_spark.operators.agg import SketchSpec
+from associationabacminer_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    TDigest,
+)
+
+
+def prepare_transcripts(df: DataFrame) -> DataFrame:
+    """Slim the transcript table BEFORE the conv window exchange: keys
+    hashed JVM-side (xxhash64), text reduced to its length — the shuffle
+    then moves ~36 B/row instead of raw text (~200 B/row)."""
+    slim = df.select(
+        F.xxhash64("conv_id").alias("conv_h"),
+        F.when(F.col("tool").isNotNull(), F.xxhash64("tool")).alias("tool_h"),
+        F.length("text").cast("double").alias("text_len"),
+        "turn_idx",
+        F.col("ts").cast("timestamp").cast("double").alias("ts_s"),
+    )
+    w = Window.partitionBy("conv_h").orderBy("turn_idx")
+    return slim.withColumn(
+        "latency_s", F.col("ts_s") - F.lag("ts_s").over(w)
+    ).select("conv_h", "tool_h", "text_len", "latency_s")
+
+
+def transcript_specs(bloom_capacity: int = 2_000_000) -> list[SketchSpec]:
+    """HLL distinct conv, CMS tool frequencies, KLL turn-length quantiles,
+    t-digest inter-turn latency quantiles, Bloom conv membership.  Key
+    columns are already xxhash64 values from ``prepare_transcripts``;
+    driver-side query keys go through sketch.xxhash.xxh64_keys."""
+    return [
+        SketchSpec("hll_conv", HyperLogLog, "conv_h", kernel_cls=HyperLogLog),
+        SketchSpec(
+            "cms_tool",
+            lambda: CountMinSketch(width=4096, depth=5),
+            "tool_h",
+            kernel_cls=CountMinSketch,
+        ),
+        SketchSpec("kll_len", lambda: KLL(k=200), "text_len", kernel_cls=KLL),
+        SketchSpec(
+            "td_latency", lambda: TDigest(delta=200), "latency_s", kernel_cls=TDigest
+        ),
+        SketchSpec(
+            "bloom_conv",
+            lambda: BloomFilter.from_capacity(bloom_capacity, 0.01),
+            "conv_h",
+            kernel_cls=BloomFilter,
+        ),
+    ]

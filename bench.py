@@ -61,6 +61,12 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cpus)
 
     import associationabacminer_spark.queries as Q
+    from associationabacminer_spark.sources.tables import load_tables
+
+    # warm FS metadata + parquet footers so the first query isn't charged
+    # session cold-start
+    for _name, _df in load_tables(spark, sf_dir).items():
+        _df.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -72,63 +78,14 @@ def main() -> None:
     # sketch-build throughput on the transcript table (the north metric)
     synth = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".synth", "bench_transcripts")
     ensure_transcripts(spark, synth)
-    import runpy
-
-    sys.argv = ["sketch_job", "--data", synth, "--groups", str(int(cpus) * 2)]
-    t0 = time.perf_counter()
-    # inline the job (same session) rather than spark-submit for the
-    # per-round loop; run_scaling.py uses real spark-submit
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
-    from associationabacminer_spark.sketch import (
-        BloomFilter,
-        CountMinSketch,
-        HyperLogLog,
-        KLL,
-        TDigest,
-    )
+    from associationabacminer_spark.operators.agg import sketch_aggregate
+    from associationabacminer_spark.suite import prepare_transcripts, transcript_specs
 
     df = spark.read.parquet(synth)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    prepared = (
-        df.withColumn("text_len", F.length("text").cast("double"))
-        .withColumn(
-            "latency_s",
-            F.col("ts").cast("timestamp").cast("double")
-            - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w),
-        )
-        .select("conv_id", "tool", "text_len", "latency_s")
-    )
+    prepared = prepare_transcripts(df)
     n_rows = df.count()
     t0 = time.perf_counter()
-    sketch_aggregate(
-        prepared,
-        [
-            SketchSpec("hll_conv", HyperLogLog, "conv_id", kernel_cls=HyperLogLog),
-            SketchSpec(
-                "cms_tool",
-                lambda: CountMinSketch(width=4096, depth=5),
-                "tool",
-                kernel_cls=CountMinSketch,
-            ),
-            SketchSpec("kll_len", lambda: KLL(k=200), "text_len", kernel_cls=KLL),
-            SketchSpec(
-                "td_latency",
-                lambda: TDigest(delta=200),
-                "latency_s",
-                kernel_cls=TDigest,
-            ),
-            SketchSpec(
-                "bloom_conv",
-                lambda: BloomFilter.from_capacity(2_000_000, 0.01),
-                "conv_id",
-                kernel_cls=BloomFilter,
-            ),
-        ],
-        num_groups=int(cpus) * 2,
-    )
+    sketch_aggregate(prepared, transcript_specs(), method="map")
     sketch_s = time.perf_counter() - t0
     timings["sketch_build_1p2M_turns"] = round(sketch_s, 3)
 

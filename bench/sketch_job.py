@@ -32,53 +32,12 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
-    from associationabacminer_spark.sketch import (
-        BloomFilter,
-        CountMinSketch,
-        HyperLogLog,
-        KLL,
-        TDigest,
-    )
+    from associationabacminer_spark.operators.agg import sketch_aggregate
+    from associationabacminer_spark.suite import prepare_transcripts, transcript_specs
 
     df = spark.read.parquet(args.data)
-    # SLIM BEFORE THE SHUFFLE: hash the key columns (codegen'd xxhash64)
-    # and reduce text to its length at scan time, so the conv_id window
-    # exchange moves ~36 B/row instead of ~200 B/row (the raw text).
-    # The window partitions on the 64-bit conv hash — collisions are
-    # ~n^2/2^64, irrelevant for latency quantiles.
-    slim = df.select(
-        F.xxhash64("conv_id").alias("conv_h"),
-        F.when(F.col("tool").isNotNull(), F.xxhash64("tool")).alias("tool_h"),
-        F.length("text").cast("double").alias("text_len"),
-        "turn_idx",
-        F.col("ts").cast("timestamp").cast("double").alias("ts_s"),
-    )
-    w = Window.partitionBy("conv_h").orderBy("turn_idx")
-    prepared = slim.withColumn(
-        "latency_s", F.col("ts_s") - F.lag("ts_s").over(w)
-    ).select("conv_h", "tool_h", "text_len", "latency_s")
-    # key columns are already xxhash64 values; the kernels' int base-hash
-    # path (splitmix on top) keeps query-key consistency via xxh64_keys
-    specs = [
-        SketchSpec("hll_conv", HyperLogLog, "conv_h", kernel_cls=HyperLogLog),
-        SketchSpec(
-            "cms_tool",
-            lambda: CountMinSketch(width=4096, depth=5),
-            "tool_h",
-            kernel_cls=CountMinSketch,
-        ),
-        SketchSpec("kll_len", lambda: KLL(k=200), "text_len", kernel_cls=KLL),
-        SketchSpec(
-            "td_latency", lambda: TDigest(delta=200), "latency_s", kernel_cls=TDigest
-        ),
-        SketchSpec(
-            "bloom_conv",
-            lambda: BloomFilter.from_capacity(2_000_000, 0.01),
-            "conv_h",
-            kernel_cls=BloomFilter,
-        ),
-    ]
+    prepared = prepare_transcripts(df)
+    specs = transcript_specs()
 
     n_rows = df.count()  # warms the file-listing/footer caches
     # steady-state measurement: warm Python workers (fork + numpy/pandas
