@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     parts = [
+        Q.QUERIES["q53_transcript_flagship"](spark, sf_dir),
         Q.QUERIES["q38_hll_distinct"](spark, sf_dir),
         Q.QUERIES["q39_cms_heavy_hitters"](spark, sf_dir),
         Q.QUERIES["q40_kll_quantiles"](spark, sf_dir),

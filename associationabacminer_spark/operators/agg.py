@@ -42,6 +42,12 @@ LINEAGE_SCHEMA = (
 
 _GROUP_COL = "__sketch_group__"
 
+# Sentinel standing in for NULL in int64 key columns: a nullable int64
+# column crosses Arrow->pandas as float64, destroying the low bits of
+# 64-bit hashes.  Encoding NULL as Long.MIN_VALUE keeps the column
+# null-free (stays int64) and the build filters it out numpy-side.
+NULL_SENTINEL = -(2**63)
+
 
 @dataclass
 class SketchSpec:
@@ -66,6 +72,7 @@ class SketchSpec:
     kernel_cls: type = None  # type: ignore[assignment]
     dropna: bool = True
     prehash: bool = False
+    null_value: int | None = None  # sentinel-encoded NULL for int64 key cols
     params: dict = field(default_factory=dict)
 
     def make(self):
@@ -104,15 +111,27 @@ def _projected(df: DataFrame, specs: list[SketchSpec], extra: list[str]):
         if s.prehash:
             name = f"__xxh_{s.column}__"
             if name not in cols:
+                # NULL -> sentinel keeps the column int64 across Arrow
                 cols[name] = F.when(
                     F.col(s.column).isNotNull(), F.xxhash64(s.column)
-                )
+                ).otherwise(F.lit(NULL_SENTINEL))
             spec_cols.append(name)
         else:
             cols[s.column] = F.col(s.column)
             spec_cols.append(s.column)
     proj = df.select(*[v.alias(k) for k, v in cols.items()])
     return proj, spec_cols
+
+
+def _clean(col, dropna: bool, sentinel):
+    """Series -> numpy array with nulls removed: sentinel filter for
+    int64 key columns (kept int64 across Arrow), dropna otherwise."""
+    if sentinel is not None:
+        arr = col.to_numpy()
+        return arr[arr != sentinel]
+    if dropna:
+        col = col.dropna()
+    return col.to_numpy()
 
 
 def build_sketches(
@@ -147,7 +166,14 @@ def build_sketches(
     order_by = order_by or []
     proj, spec_cols = _projected(df, specs, extra=order_by)
     spec_list = [
-        (s.name, s.make, c, s.dropna, s.prehash)
+        (
+            s.name,
+            s.make,
+            c,
+            s.dropna,
+            s.prehash,
+            NULL_SENTINEL if s.prehash else s.null_value,
+        )
         for s, c in zip(specs, spec_cols)
     ]
 
@@ -171,38 +197,34 @@ def build_sketches(
                 if buffered is not None:
                     buffered.append(pdf)
                     continue
-                for name, make, column, dropna, prehash in spec_list:
+                for name, make, column, dropna, prehash, sentinel in spec_list:
                     t0 = time.perf_counter()
                     if name not in state:
                         state[name] = make()
                         rows[name] = 0
                         times[name] = 0.0
-                    col = pdf[column]
-                    if dropna:
-                        col = col.dropna()
-                    if len(col):
+                    arr = _clean(pdf[column], dropna, sentinel)
+                    if len(arr):
                         if prehash:
-                            state[name].update_batch(col.to_numpy(), prehashed=True)
+                            state[name].update_batch(arr, prehashed=True)
                         else:
-                            state[name].update_batch(col.to_numpy())
-                        rows[name] += len(col)
+                            state[name].update_batch(arr)
+                        rows[name] += len(arr)
                     times[name] += time.perf_counter() - t0
             if buffered:
                 pdf = pd.concat(buffered, ignore_index=True).sort_values(
                     order_by, kind="stable"
                 )
-                for name, make, column, dropna, prehash in spec_list:
+                for name, make, column, dropna, prehash, sentinel in spec_list:
                     t0 = time.perf_counter()
                     state[name] = make()
-                    col = pdf[column]
-                    if dropna:
-                        col = col.dropna()
-                    rows[name] = len(col)
-                    if len(col):
+                    arr = _clean(pdf[column], dropna, sentinel)
+                    rows[name] = len(arr)
+                    if len(arr):
                         if prehash:
-                            state[name].update_batch(col.to_numpy(), prehashed=True)
+                            state[name].update_batch(arr, prehashed=True)
                         else:
-                            state[name].update_batch(col.to_numpy())
+                            state[name].update_batch(arr)
                     times[name] = time.perf_counter() - t0
             if state:
                 yield pd.DataFrame(
@@ -234,18 +256,16 @@ def build_sketches(
         if order_by:
             pdf = pdf.sort_values(order_by, kind="stable")
         out = []
-        for name, make, column, dropna, prehash in spec_list:
+        for name, make, column, dropna, prehash, sentinel in spec_list:
             t0 = time.perf_counter()
             kernel = make()
-            col = pdf[column]
-            if dropna:
-                col = col.dropna()
-            n = len(col)
+            arr = _clean(pdf[column], dropna, sentinel)
+            n = len(arr)
             if n:
                 if prehash:
-                    kernel.update_batch(col.to_numpy(), prehashed=True)
+                    kernel.update_batch(arr, prehashed=True)
                 else:
-                    kernel.update_batch(col.to_numpy())
+                    kernel.update_batch(arr)
             out.append(
                 (gid, name, n, kernel.serialize(), time.perf_counter() - t0)
             )

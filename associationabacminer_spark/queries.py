@@ -1194,3 +1194,125 @@ def q50(spark, sf_dir):
         .agg((F.count("*") / F.lit(float(total))).alias("p"))
         .agg(F.round(F.sum(-F.col("p") * F.log2("p")), 6).alias("entropy"))
     )
+
+
+# =========================================================================
+# As-of join, sampling, transcript flagship
+# =========================================================================
+
+@query(
+    "q51_asof_join",
+    """
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q51(spark, sf_dir):
+    """Backward as-of join (no native Spark operator — composed as a
+    union + ordered-window last(ignorenulls) sweep, one shuffle, no
+    Python; oracle is DuckDB's native ASOF JOIN)."""
+    from associationabacminer_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id"],
+        suffix="",
+    )
+    return joined.select("event_id", "user_id", "view_event_id")
+
+
+@query("q52_bernoulli_sample")
+def q52(spark, sf_dir):
+    """P7 Bernoulli sampling (SeparatedVarianceSelector.py:126-127) —
+    rows-only (RNG streams differ across engines); self-checks the
+    sample size against a 5-sigma binomial band."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    frac = 0.1
+    got = ev.sample(fraction=frac, seed=42).count()
+    sigma = (n * frac * (1 - frac)) ** 0.5
+    ok = abs(got - n * frac) <= 5 * sigma
+    return _sketch_summary(
+        spark, [("bernoulli_sample_size", float(got), float(n * frac), 5 * sigma, bool(ok))]
+    )
+
+
+@query("q53_transcript_flagship")
+def q53(spark, sf_dir):
+    """The north-star suite on the input_hint transcript shape:
+    deterministic synth -> slim-before-shuffle prep -> zero-shuffle
+    mapInPandas build -> tree merge; every estimate self-checked against
+    its exact answer and published bound, plus the per-turn row-fidelity
+    invariant (regeneration equality under stable (conv_id, turn_idx)
+    ordering)."""
+    from associationabacminer_spark.operators.agg import sketch_aggregate
+    from associationabacminer_spark.sources.transcripts import generate_transcripts
+    from associationabacminer_spark.suite import prepare_transcripts, transcript_specs
+
+    df = generate_transcripts(spark, n_convs=1500, seed=42, num_partitions=8).cache()
+    prepared = prepare_transcripts(df)
+    ks = sketch_aggregate(prepared, transcript_specs(bloom_capacity=10_000), method="map")
+    rows = []
+
+    exact_d = df.select(F.countDistinct("conv_id")).collect()[0][0]
+    est = ks["hll_conv"].estimate()
+    bound = 3 * ks["hll_conv"].relative_error
+    rows.append(
+        ("hll_distinct_conv", float(est), float(exact_d), bound,
+         bool(abs(est - exact_d) <= max(1.0, bound * exact_d)))
+    )
+
+    cms = ks["cms_tool"]
+    top = (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy("tool").count().orderBy(F.desc("count")).limit(3).collect()
+    )
+    # hash the query keys with the Spark-parity xxh64 (strings)
+    from associationabacminer_spark.sketch.xxhash import xxh64_keys
+    keys = [r["tool"] for r in top]
+    ests = cms.query(xxh64_keys(keys), prehashed=True)
+    for r, e in zip(top, ests):
+        rows.append(
+            (f"cms_{r['tool']}", float(e), float(r["count"]),
+             float(cms.eps * cms.total),
+             bool(r["count"] <= e <= r["count"] + cms.eps * cms.total))
+        )
+
+    n = df.count()
+    kll = ks["kll_len"]
+    for q in (0.5, 0.99):
+        v = kll.quantile(q)
+        lo = df.filter(F.length("text") < v).count() / n
+        hi = df.filter(F.length("text") <= v).count() / n
+        tol = 2 * kll.rank_error + 0.005
+        rows.append((f"kll_textlen_q{q}", float(v), float((lo + hi) / 2), tol,
+                     bool(lo - tol <= q <= hi + tol)))
+
+    # row fidelity: regeneration equality under stable ordering
+    regen = generate_transcripts(spark, n_convs=1500, seed=42, num_partitions=3)
+    mism = (
+        df.select("conv_id", "turn_idx", F.col("text").alias("ta"))
+        .join(
+            regen.select("conv_id", "turn_idx", F.col("text").alias("tb")),
+            ["conv_id", "turn_idx"],
+            "full_outer",
+        )
+        .filter(
+            F.col("ta").isNull() | F.col("tb").isNull() | (F.col("ta") != F.col("tb"))
+        )
+        .count()
+    )
+    rows.append(("row_fidelity_mismatches", float(mism), 0.0, 0.0, bool(mism == 0)))
+    df.unpersist()
+    return _sketch_summary(spark, rows)

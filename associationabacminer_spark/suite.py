@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from associationabacminer_spark.operators.agg import SketchSpec
+from associationabacminer_spark.operators.agg import NULL_SENTINEL, SketchSpec
 from associationabacminer_spark.sketch import (
     BloomFilter,
     CountMinSketch,
@@ -24,7 +24,9 @@ def prepare_transcripts(df: DataFrame) -> DataFrame:
     then moves ~36 B/row instead of raw text (~200 B/row)."""
     slim = df.select(
         F.xxhash64("conv_id").alias("conv_h"),
-        F.when(F.col("tool").isNotNull(), F.xxhash64("tool")).alias("tool_h"),
+        F.when(F.col("tool").isNotNull(), F.xxhash64("tool"))
+        .otherwise(F.lit(NULL_SENTINEL))
+        .alias("tool_h"),
         F.length("text").cast("double").alias("text_len"),
         "turn_idx",
         F.col("ts").cast("timestamp").cast("double").alias("ts_s"),
@@ -47,6 +49,7 @@ def transcript_specs(bloom_capacity: int = 2_000_000) -> list[SketchSpec]:
             lambda: CountMinSketch(width=4096, depth=5),
             "tool_h",
             kernel_cls=CountMinSketch,
+            null_value=NULL_SENTINEL,
         ),
         SketchSpec("kll_len", lambda: KLL(k=200), "text_len", kernel_cls=KLL),
         SketchSpec(
