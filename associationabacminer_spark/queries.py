@@ -1316,3 +1316,63 @@ def q53(spark, sf_dir):
     rows.append(("row_fidelity_mismatches", float(mism), 0.0, 0.0, bool(mism == 0)))
     df.unpersist()
     return _sketch_summary(spark, rows)
+
+
+@query("q54_windowed_hll")
+def q54(spark, sf_dir):
+    """Per-day HLL distinct users + mergeable rollup (W1 x A1): the
+    reference's one-job-per-window pattern (WindowGenerator.py:13-24)
+    collapsed into one pass, with daily partials rolled into a 10-day
+    window WITHOUT re-reading rows (mergeability)."""
+    from associationabacminer_spark.operators.agg import SketchSpec
+    from associationabacminer_spark.operators.windowed_sketch import (
+        rollup_windows,
+        windowed_sketches,
+    )
+    from associationabacminer_spark.sketch import HyperLogLog
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    specs = [
+        SketchSpec(
+            "hll_user", HyperLogLog, "user_id", kernel_cls=HyperLogLog, prehash=True
+        )
+    ]
+    lineage = windowed_sketches(ev, specs, "ts", "1 day", "1 day").cache()
+    exact = {
+        str(r["d"]): r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = []
+    for r in lineage.collect():
+        h = HyperLogLog.deserialize(bytes(r["sketch"]))
+        want = exact[str(r["window_start"])]
+        bound = 3 * h.relative_error
+        rows.append(
+            (
+                f"hll_day_{str(r['window_start'])[:10]}",
+                float(h.estimate()),
+                float(want),
+                bound,
+                bool(abs(h.estimate() - want) <= max(1.0, bound * want)),
+            )
+        )
+    rolled = rollup_windows(lineage, specs, group_days=10).collect()
+    merged = None
+    for r in rolled:
+        k = HyperLogLog.deserialize(bytes(r["sketch"]))
+        merged = k if merged is None else HyperLogLog.merge(merged, k)
+    exact_total = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    bound = 3 * merged.relative_error
+    rows.append(
+        (
+            "hll_rollup_total",
+            float(merged.estimate()),
+            float(exact_total),
+            bound,
+            bool(abs(merged.estimate() - exact_total) <= max(1.0, bound * exact_total)),
+        )
+    )
+    lineage.unpersist()
+    return _sketch_summary(spark, rows)

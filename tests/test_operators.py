@@ -276,3 +276,48 @@ class TestStreaming:
         exact = ev.distinct().count()
         est = state["hll"].estimate()
         assert abs(est - exact) <= max(1.0, 3 * state["hll"].relative_error * exact)
+
+
+class TestWindowedSketches:
+    def test_per_window_hll_vs_exact_and_rollup(self, spark):
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import (
+            rollup_windows,
+            windowed_sketches,
+        )
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        specs = [
+            SketchSpec(
+                "hll_user", HyperLogLog, "user_id", kernel_cls=HyperLogLog, prehash=True
+            )
+        ]
+        lineage = windowed_sketches(ev, specs, "ts", "1 day", "1 day").cache()
+        rows = lineage.collect()
+        exact = {
+            str(r["d"]): r["n"]
+            for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert len(rows) == len(exact)
+        for r in rows:
+            h = HyperLogLog.deserialize(bytes(r["sketch"]))
+            want = exact[str(r["window_start"])]
+            assert abs(h.estimate() - want) <= max(1.0, 3 * h.relative_error * want)
+
+        # rollup daily partials into 10-day windows without re-reading rows
+        rolled = rollup_windows(lineage, specs, group_days=10).collect()
+        total_est = 0.0
+        merged = None
+        for r in rolled:
+            k = HyperLogLog.deserialize(bytes(r["sketch"]))
+            merged = k if merged is None else HyperLogLog.merge(merged, k)
+        exact_total = ev.select(F.countDistinct("user_id")).collect()[0][0]
+        assert abs(merged.estimate() - exact_total) <= max(
+            1.0, 3 * merged.relative_error * exact_total
+        )
+        lineage.unpersist()
