@@ -1376,3 +1376,71 @@ def q54(spark, sf_dir):
     )
     lineage.unpersist()
     return _sketch_summary(spark, rows)
+
+
+@query("q55_eqf_binning_via_kll")
+def q55(spark, sf_dir):
+    """Equi-frequency binning driven by the KLL sketch (N1 'eqf-k'
+    binning, ConfigurableEventNormalizer.py:39-56 — the reference used
+    lookup tables computed offline from exact sorts; here the bounds
+    come from a streaming mergeable sketch, then binning is a CASE-WHEN
+    chain JVM-side).  Self-check: each of the 4 bins holds ~25%."""
+    from associationabacminer_spark.functions.normalize import hour_bin_bounds
+    from associationabacminer_spark.operators.agg import SketchSpec, sketch_aggregate
+    from associationabacminer_spark.sketch import KLL
+
+    ev = _t(spark, sf_dir, "events")
+    ks = sketch_aggregate(
+        ev.select(F.col("value").cast("double").alias("value")),
+        [SketchSpec("kll", lambda: KLL(k=200), "value", kernel_cls=KLL)],
+        method="map",
+    )
+    kll = ks["kll"]
+    bounds = [float(kll.quantile(q)) for q in (0.25, 0.5, 0.75)]
+    v = F.col("value")
+    bin_expr = (
+        F.when(v < bounds[0], 0)
+        .when(v < bounds[1], 1)
+        .when(v < bounds[2], 2)
+        .otherwise(3)
+    )
+    counts = ev.groupBy(bin_expr.alias("bin")).agg(F.count("*").alias("cnt")).collect()
+    n = ev.count()
+    tol = 2 * kll.rank_error + 0.01
+    rows = [
+        (
+            f"eqf_bin_{r['bin']}",
+            float(r["cnt"] / n),
+            0.25,
+            tol,
+            bool(abs(r["cnt"] / n - 0.25) <= tol),
+        )
+        for r in counts
+    ]
+    return _sketch_summary(spark, rows)
+
+
+@query("q56_pca_embeddings")
+def q56(spark, sf_dir):
+    """PCA over the embedding column (E3, /root/reference/src/experiment/
+    PFA.py:8-68 — sklearn PCA on a collected matrix becomes distributed
+    Spark ML PCA).  Self-check: explained-variance fractions are
+    descending and sum <= 1."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "features"
+        )
+    )
+    model = PCA(k=4, inputCol="features", outputCol="pc").fit(vecs)
+    ev_frac = list(model.explainedVariance)
+    rows = []
+    ok_desc = all(ev_frac[i] >= ev_frac[i + 1] - 1e-9 for i in range(len(ev_frac) - 1))
+    for i, f in enumerate(ev_frac):
+        rows.append((f"pca_var_frac_{i}", float(round(f, 6)), 0.0, 1.0, bool(0 <= f <= 1)))
+    rows.append(("pca_descending_and_sum", float(round(sum(ev_frac), 6)), 1.0, 1.0,
+                 bool(ok_desc and sum(ev_frac) <= 1.0 + 1e-9)))
+    return _sketch_summary(spark, rows)
