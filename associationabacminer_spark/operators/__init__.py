@@ -7,11 +7,14 @@ from associationabacminer_spark.operators.agg import (
     LINEAGE_SCHEMA,
 )
 from associationabacminer_spark.operators import (
+    asof,
     dedup,
     multimodal,
     rulemine,
     similarity,
+    stats,
     topk,
+    windowed_sketch,
     windows,
 )
 
@@ -22,10 +25,13 @@ __all__ = [
     "tree_merge",
     "sketch_aggregate",
     "LINEAGE_SCHEMA",
+    "asof",
     "dedup",
     "multimodal",
     "rulemine",
     "similarity",
+    "stats",
     "topk",
+    "windowed_sketch",
     "windows",
 ]

@@ -85,6 +85,8 @@ def run_level(cores: int, data: str, pkg_zip: str, groups: int) -> dict:
         "--py-files",
         pkg_zip,
         os.path.join(REPO, "bench", "sketch_job.py"),
+        "--mode",
+        "hybrid",
         "--data",
         data,
         "--groups",

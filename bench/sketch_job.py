@@ -23,6 +23,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
     ap.add_argument("--groups", type=int, default=64)
+    ap.add_argument("--mode", choices=["arrow", "hybrid"], default="hybrid")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -33,20 +34,45 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from associationabacminer_spark.operators.agg import sketch_aggregate
+    from associationabacminer_spark.operators.sql_sketch import cms_from_sql, hll_from_sql
     from associationabacminer_spark.suite import prepare_transcripts, transcript_specs
 
     df = spark.read.parquet(args.data)
     prepared = prepare_transcripts(df)
-    specs = transcript_specs()
 
     n_rows = df.count()  # warms the file-listing/footer caches
-    # steady-state measurement: warm Python workers (fork + numpy/pandas
-    # import), JIT and codegen on a small LIMIT sample — a different plan,
-    # so nothing the timed run could reuse — then time the full build
-    sketch_aggregate(prepared.limit(500_000), specs, method="map")
-    t0 = time.perf_counter()
-    sketches = sketch_aggregate(prepared, specs, method="map")
-    elapsed = time.perf_counter() - t0
+    if args.mode == "hybrid":
+        # HLL + CMS reduce JVM-side in whole-stage codegen (<=16k rows
+        # leave the cluster); only float columns + conv hash cross Arrow
+        # for the Bloom/KLL/t-digest builds.
+        arrow_specs = [
+            s for s in transcript_specs() if s.name in ("bloom_conv", "kll_len", "td_latency")
+        ]
+        sketch_aggregate(prepared.limit(500_000), arrow_specs, method="map")  # warm
+        # the three builds are independent Spark jobs: submit them from
+        # threads so the scheduler overlaps their stages (fills the gaps
+        # a sequential driver loop leaves idle)
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(3) as pool:
+            f_arrow = pool.submit(
+                sketch_aggregate, prepared, arrow_specs, method="map"
+            )
+            f_hll = pool.submit(hll_from_sql, df, "conv_id", 14)
+            f_cms = pool.submit(cms_from_sql, df, "tool", 4096, 5)
+            sketches = f_arrow.result()
+            sketches["hll_conv"] = f_hll.result()
+            sketches["cms_tool"] = f_cms.result()
+        elapsed = time.perf_counter() - t0
+    else:
+        specs = transcript_specs()
+        # steady-state: warm Python workers / JIT / codegen on a LIMIT
+        # sample (different plan — nothing reusable), then time the build
+        sketch_aggregate(prepared.limit(500_000), specs, method="map")
+        t0 = time.perf_counter()
+        sketches = sketch_aggregate(prepared, specs, method="map")
+        elapsed = time.perf_counter() - t0
 
     result = {
         "rows": n_rows,

@@ -321,3 +321,50 @@ class TestWindowedSketches:
             1.0, 3 * merged.relative_error * exact_total
         )
         lineage.unpersist()
+
+
+class TestRuleUtilities:
+    def test_merge_rules_fixpoint(self):
+        from associationabacminer_spark.operators.rulemine import (
+            Policy,
+            Rule,
+            merge_rules,
+        )
+
+        p = Policy(
+            rules=[
+                Rule(constraints={"a": "1", "b": "x"}),
+                Rule(constraints={"a": "2", "b": "x"}),
+                Rule(constraints={"a": "3", "b": "x"}),
+                Rule(constraints={"c": "z"}),
+            ]
+        )
+        merged = merge_rules(p)
+        # the three b=x rules collapse into one with a in {1,2,3}
+        assert len(merged.rules) == 2
+        big = next(r for r in merged.rules if "a" in r.constraints)
+        assert sorted(big.constraints["a"]) == ["1", "2", "3"]
+        assert big.constraints["b"] == "x"
+
+    def test_wsc_weighted(self):
+        from associationabacminer_spark.operators.rulemine import Policy, Rule, wsc
+
+        p = Policy(rules=[Rule(constraints={"user": "u1", "op": ["a", "b"]})])
+        assert wsc(p) == 3.0  # 1 user value + 2 op values
+        assert wsc(p, weights={"user": 2.0}) == 4.0
+
+    def test_auc_trapezoid(self):
+        from associationabacminer_spark.operators.rulemine import auc_from_points
+
+        # perfect classifier: (0,1) then (1,1) -> area 1
+        assert auc_from_points([0.0, 0.0, 1.0], [0.0, 1.0, 1.0]) == 1.0
+        # diagonal -> 0.5
+        assert auc_from_points([0.0, 0.5, 1.0], [0.0, 0.5, 1.0]) == 0.5
+
+    def test_low_variance_columns(self, spark):
+        from associationabacminer_spark.operators.stats import low_variance_columns
+
+        df = spark.createDataFrame(
+            [("k", str(i % 3)) for i in range(30)], "constant string, varying string"
+        )
+        assert low_variance_columns(df, ["constant", "varying"]) == ["constant"]

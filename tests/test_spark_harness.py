@@ -262,3 +262,36 @@ class TestResume:
             assert second["hll_conv"].estimate() == first["hll_conv"].estimate()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestSqlSketch:
+    def test_hll_sql_matches_prehashed_kernel(self, spark):
+        from associationabacminer_spark.operators.sql_sketch import hll_from_sql
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sql_hll = hll_from_sql(ev, "user_id", p=14)
+        hashes = np.array(
+            [r["h"] for r in ev.select(F.xxhash64("user_id").alias("h")).collect()],
+            dtype=np.int64,
+        )
+        kern = HyperLogLog(p=14).update_batch(hashes, prehashed=True)
+        assert (sql_hll._registers() == kern._registers()).all()
+        exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+        assert abs(sql_hll.estimate() - exact) <= max(
+            1.0, 3 * sql_hll.relative_error * exact
+        )
+
+    def test_cms_sql_matches_streaming_kernel(self, spark):
+        from associationabacminer_spark.operators.sql_sketch import cms_from_sql
+        from associationabacminer_spark.sketch import CountMinSketch
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sql_cms = cms_from_sql(ev, "event_type", width=2048, depth=5)
+        hashes = np.array(
+            [r["h"] for r in ev.select(F.xxhash64("event_type").alias("h")).collect()],
+            dtype=np.int64,
+        )
+        kern = CountMinSketch(width=2048, depth=5).update_batch(hashes, prehashed=True)
+        assert sql_cms.total == kern.total
+        assert (sql_cms.table == kern.table).all()
