@@ -37,6 +37,8 @@ HEADLINE = [
     "q38_hll_distinct",
     "q40_kll_quantiles",
     "q43_minhash_lsh_pairs",
+    "q47_crosstab",
+    "q51_asof_join",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

@@ -94,3 +94,24 @@ class TestPlanShapes:
         )
         plan = plan_of(lineage)
         assert "xxhash64" in plan  # hashing is in the JVM plan
+
+
+class TestSuitePlan:
+    def test_suite_build_has_single_exchange(self, spark, transcripts):
+        """The flagship pipeline must shuffle exactly once (the latency
+        window); the sketch build itself is per-partition mapInPandas."""
+        from associationabacminer_spark.operators.agg import build_sketches
+        from associationabacminer_spark.suite import (
+            prepare_transcripts,
+            transcript_specs,
+        )
+
+        lineage = build_sketches(
+            prepare_transcripts(transcripts),
+            transcript_specs(bloom_capacity=10_000),
+            method="map",
+        )
+        plan = plan_of(lineage)
+        # formatted plans list each node once in the tree and once in the
+        # detail section -> a single physical Exchange appears twice
+        assert plan.count("Exchange") <= 2, plan
