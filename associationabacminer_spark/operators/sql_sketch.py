@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from associationabacminer_spark.sketch import CountMinSketch, HyperLogLog
+from associationabacminer_spark.sketch import BloomFilter, CountMinSketch, HyperLogLog
 
 
 def hll_register_table(df: DataFrame, col: str, p: int = 14) -> DataFrame:
@@ -81,3 +81,48 @@ def cms_from_sql(
         counts = np.array([r["cnt"] for r in rows], dtype=np.int64)
         cms.update_batch(hashes, counts=counts, prehashed=True)
     return cms
+
+
+def bloom_word_table(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
+    """(word_idx, word) table of the Bloom bit array via pure SQL:
+    distinct keys -> k probe positions (overflow-free double hashing:
+    pos_i = (pmod(h1,m) + i*pmod(h2|1,m)) mod m) -> word grouping with a
+    ``bit_or`` aggregate.  At most m/64 rows leave the cluster."""
+    m = int(m_bits)
+    keys = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("k")).distinct()
+    h1 = F.pmod(F.xxhash64("k"), F.lit(m))
+    # lit must be BIGINT: Spark hashes IntegerType as 4 bytes, and the
+    # driver-side twin (xxh64_pair_keys) chains an 8-byte long
+    h2 = F.pmod(
+        F.xxhash64("k", F.lit(1).cast("long")).bitwiseOR(F.lit(1)), F.lit(m)
+    )
+    probes = keys.select(
+        h1.alias("h1m"),
+        h2.alias("h2m"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    ).select(
+        F.pmod(F.col("h1m") + F.col("i") * F.col("h2m"), F.lit(m)).alias("pos")
+    )
+    return (
+        probes.select(
+            F.expr("pos DIV 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_from_sql(df: DataFrame, col: str, m_bits: int, k: int) -> BloomFilter:
+    """Bloom filter whose bit array was reduced JVM-side — word-identical
+    to ``BloomFilter.update_pairs`` over (xxhash64(key), xxhash64(key,1))
+    pairs (asserted in tests).  Query with ``contains_pairs`` +
+    ``sketch.xxhash.xxh64_pair_keys``."""
+    rows = bloom_word_table(df, col, m_bits, k).collect()
+    out = BloomFilter(m_bits, k)
+    if rows:
+        idx = np.array([r["word_idx"] for r in rows], dtype=np.int64)
+        words = np.array([r["word"] for r in rows], dtype=np.int64).view(np.uint64)
+        out.words[idx] = words
+    # n_inserted is informational; recover it cheaply if needed
+    return out

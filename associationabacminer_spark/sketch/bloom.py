@@ -49,6 +49,38 @@ class BloomFilter:
                 np.int64
             )
 
+    def _positions_pairs(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Positions from externally supplied (h1, h2) 64-bit hashes —
+        the overflow-free formula shared bit-for-bit with the Spark SQL
+        reduction (operators/sql_sketch.bloom_from_sql):
+        pos_i = (pmod(h1, m) + i * pmod(h2|1, m)) mod m."""
+        m = np.int64(self.m)
+        h1m = np.asarray(h1, dtype=np.int64) % m  # numpy % is pmod for m>0
+        h2m = (np.asarray(h2, dtype=np.int64) | np.int64(1)) % m
+        i = np.arange(self.k, dtype=np.int64)[:, None]
+        return (h1m[None, :] + i * h2m[None, :]) % m
+
+    def update_pairs(self, h1: np.ndarray, h2: np.ndarray) -> "BloomFilter":
+        """Insert keys given their (xxhash64(key), xxhash64(key, 1))
+        hash pair (the SQL-parity scheme)."""
+        if len(h1) == 0:
+            return self
+        pos = self._positions_pairs(h1, h2).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+        )
+        self.n_inserted += len(h1)
+        return self
+
+    def contains_pairs(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        if len(h1) == 0:
+            return np.empty(0, dtype=bool)
+        pos = self._positions_pairs(h1, h2)
+        bits = (
+            self.words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=0)
+
     def update_batch(self, values, prehashed: bool = False) -> "BloomFilter":
         if len(values) == 0:
             return self

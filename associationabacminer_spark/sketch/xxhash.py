@@ -113,6 +113,17 @@ def xxh64_bytes(data: bytes, seed: int = SPARK_SEED) -> int:
     return acc
 
 
+def xxh64_pair_keys(values) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) per key where h1 = Spark ``xxhash64(key)`` and
+    h2 = Spark ``xxhash64(key, lit(1))``.  Spark chains multi-argument
+    xxhash64 by feeding the running hash as the next argument's seed, so
+    h2 = XXH64(bytes(1 as little-endian long), seed=h1)."""
+    h1 = xxh64_keys(values)
+    one = (1).to_bytes(8, "little", signed=True)
+    h2 = np.array([xxh64_bytes(one, int(h)) for h in h1], dtype=np.uint64)
+    return h1, h2
+
+
 def xxh64_keys(values, seed: int = SPARK_SEED) -> np.ndarray:
     """Hash a small batch of query keys exactly as Spark's xxhash64 would
     hash the source column: ints -> 8-byte LE, str -> UTF-8, bytes raw."""

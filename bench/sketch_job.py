@@ -34,7 +34,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from associationabacminer_spark.operators.agg import sketch_aggregate
-    from associationabacminer_spark.operators.sql_sketch import cms_from_sql, hll_from_sql
+    from associationabacminer_spark.operators.sql_sketch import (
+        bloom_from_sql,
+        cms_from_sql,
+        hll_from_sql,
+    )
+    from associationabacminer_spark.sketch import BloomFilter
     from associationabacminer_spark.suite import prepare_transcripts, transcript_specs
 
     df = spark.read.parquet(args.data)
@@ -42,28 +47,32 @@ def main() -> None:
 
     n_rows = df.count()  # warms the file-listing/footer caches
     if args.mode == "hybrid":
-        # HLL + CMS reduce JVM-side in whole-stage codegen (<=16k rows
-        # leave the cluster); only float columns + conv hash cross Arrow
-        # for the Bloom/KLL/t-digest builds.
+        # every key sketch (HLL, CMS, Bloom) reduces JVM-side in
+        # whole-stage codegen; the Arrow boundary carries ONLY the two
+        # float columns (text_len, latency_s) for KLL/t-digest.
         arrow_specs = [
-            s for s in transcript_specs() if s.name in ("bloom_conv", "kll_len", "td_latency")
+            s for s in transcript_specs() if s.name in ("kll_len", "td_latency")
         ]
+        bloom_shape = BloomFilter.from_capacity(2_000_000, 0.01)
         sketch_aggregate(prepared.limit(500_000), arrow_specs, method="map")  # warm
-        # the three builds are independent Spark jobs: submit them from
-        # threads so the scheduler overlaps their stages (fills the gaps
-        # a sequential driver loop leaves idle)
+        # the builds are independent Spark jobs: submit from threads so
+        # the scheduler overlaps their stages
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.perf_counter()
-        with ThreadPoolExecutor(3) as pool:
+        with ThreadPoolExecutor(4) as pool:
             f_arrow = pool.submit(
                 sketch_aggregate, prepared, arrow_specs, method="map"
             )
             f_hll = pool.submit(hll_from_sql, df, "conv_id", 14)
             f_cms = pool.submit(cms_from_sql, df, "tool", 4096, 5)
+            f_bloom = pool.submit(
+                bloom_from_sql, df, "conv_id", bloom_shape.m, bloom_shape.k
+            )
             sketches = f_arrow.result()
             sketches["hll_conv"] = f_hll.result()
             sketches["cms_tool"] = f_cms.result()
+            sketches["bloom_conv"] = f_bloom.result()
         elapsed = time.perf_counter() - t0
     else:
         specs = transcript_specs()

@@ -295,3 +295,18 @@ class TestSqlSketch:
         kern = CountMinSketch(width=2048, depth=5).update_batch(hashes, prehashed=True)
         assert sql_cms.total == kern.total
         assert (sql_cms.table == kern.table).all()
+
+    def test_bloom_sql_matches_pair_kernel(self, spark):
+        from associationabacminer_spark.operators.sql_sketch import bloom_from_sql
+        from associationabacminer_spark.sketch import BloomFilter
+        from associationabacminer_spark.sketch.xxhash import xxh64_pair_keys
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sql_bloom = bloom_from_sql(ev, "user_id", 200_000, 7)
+        keys = [int(r["user_id"]) for r in ev.select("user_id").distinct().collect()]
+        h1, h2 = xxh64_pair_keys(keys)
+        kern = BloomFilter(200_000, 7).update_pairs(h1, h2)
+        assert (sql_bloom.words == kern.words).all()
+        assert sql_bloom.contains_pairs(h1, h2).all()  # no false negatives
+        ah1, ah2 = xxh64_pair_keys(list(range(10_000_000, 10_050_000)))
+        assert sql_bloom.contains_pairs(ah1, ah2).mean() <= 0.02
