@@ -376,7 +376,7 @@ def q15(spark, sf_dir):
 @query(
     "q16_sessionize",
     """
-    SELECT user_id, MAX(session_id) AS n_sessions FROM (
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions FROM (
       SELECT user_id,
              SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -656,7 +656,7 @@ def q28(spark, sf_dir):
 @query(
     "q29_confusion_matrix",
     """
-    SELECT tp, n - tp AS fn,
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(n - tp AS BIGINT) AS fn,
            ROUND(CASE WHEN n > 0 THEN tp / CAST(n AS DOUBLE) ELSE 1.0 END, 6) AS recall
     FROM (SELECT SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS tp,
                  COUNT(*) AS n
@@ -864,8 +864,9 @@ def q36(spark, sf_dir):
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
            COUNT(*) AS n,
-           SUM(length(text) % 640 + 16) AS total_width,
-           SUM(CASE WHEN doc_id % 3 = 2 THEN length(text) % 30 + 1 ELSE 1 END) AS total_frames
+           CAST(SUM(strlen(text) % 640 + 16) AS BIGINT) AS total_width,
+           CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 30 + 1 ELSE 1 END)
+                AS BIGINT) AS total_frames
     FROM documents GROUP BY 1
     """,
 )
@@ -1139,7 +1140,7 @@ def q47(spark, sf_dir):
     """
     SELECT l_returnflag,
            ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS strength,
-           SUM(cnt) AS n_rows
+           CAST(SUM(cnt) AS BIGINT) AS n_rows
     FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
           FROM lineitem GROUP BY 1, 2)
     GROUP BY l_returnflag

@@ -47,6 +47,46 @@ def normalize(rows, cols):
     return sorted(out)
 
 
+def _canon_spark_type(dt: str) -> str:
+    """Canonical type kind for cross-engine comparison. Integer widths
+    collapse to 'int'; all floats to 'float'; decimals keep precision so a
+    DuckDB HUGEINT/DECIMAL result (what an un-cast integer SUM returns)
+    fails against a Spark BIGINT — mirroring the driver's value-hash,
+    which distinguishes representations (VERDICT.md round 1, q16/q29/q37/q48)."""
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if dt in ("float", "double", "real"):
+        return "float"
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("varchar") or dt == "string":
+        return "string"
+    return dt
+
+
+def _canon_arrow_type(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_boolean(t):
+        return "boolean"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return "array"
+    return str(t)
+
+
 ORACLE_QUERIES = sorted(Q.ORACLES)
 
 
@@ -56,12 +96,20 @@ def test_query_matches_oracle(name, spark, duck):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(Q.ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    arrow = duck.execute(Q.ORACLES[name]).arrow()
+    duck_cols = arrow.column_names
+    duck_rows = [tuple(d.values()) for d in arrow.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    spark_types = {c: _canon_spark_type(t) for c, t in sdf.dtypes}
+    duck_types = {
+        c: _canon_arrow_type(arrow.schema.field(c).type) for c in duck_cols
+    }
+    assert spark_types == duck_types, (
+        f"{name}: type-kind mismatch {spark_types} vs {duck_types} "
+        "(driver value-hash distinguishes representations)"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
