@@ -84,6 +84,20 @@ def agent_bin(user_agent: Column | str) -> Column:
     )
 
 
+def invoked_by_collapse(invoked_by: Column | str) -> Column:
+    """N8: userIdentity.invokedBy collapse
+    (/root/reference/src/model/ConfigurableEventNormalizer.py:85-90):
+    'signin.amazonaws.com' passes through unchanged; any other value
+    containing 'amazonaws' or (case-insensitively) 'internal' collapses
+    to the literal 'internal'; everything else is unchanged."""
+    c = F.col(invoked_by) if isinstance(invoked_by, str) else invoked_by
+    return (
+        F.when(c == F.lit("signin.amazonaws.com"), c)
+        .when(c.contains("amazonaws") | F.lower(c).contains("internal"), F.lit("internal"))
+        .otherwise(c)
+    )
+
+
 def ip_normalize(ip: Column | str) -> Column:
     """N5: 10.* -> vpc.internal; service names collapse to 'internal';
     otherwise truncate to the /24 prefix
@@ -138,3 +152,17 @@ def constraint_predicate(constraints: dict[str, list]) -> Column:
     within a key, conjunctive across keys
     (/root/reference/src/model/RuleUtils.py:81-93)."""
     return reduce(and_, [F.col(k).isin(vs) for k, vs in constraints.items()])
+
+
+def constraint_predicate_with_negation(
+    include: dict[str, list], exclude: dict[str, list] | None = None
+) -> Column:
+    """P4: constraint predicate with a must_not clause — the reference's
+    bool-query shape {filter: terms..., must_not: terms...}
+    (/root/reference/src/model/RuleUtils.py:96-131, the invalid-events
+    exclusion at EnvOverassignmentCalculator.py:60-75).  Include terms
+    are conjunctive isin; exclude terms are conjunctive NOT-isin."""
+    pred = constraint_predicate(include)
+    for k, vs in (exclude or {}).items():
+        pred = pred & ~F.col(k).isin(vs)
+    return pred

@@ -90,6 +90,89 @@ def _itemset_to_rule(items: list[str], freq: int) -> Rule:
     return Rule(constraints=constraints, support=int(freq))
 
 
+def metric_suite(
+    unique_log_entries: float,
+    all_log_entries: float,
+    allowed_counts: list[float],
+    wsc: float,
+    beta: float = 1.0,
+    total_possible: float | None = None,
+    coverage_rate: float = 0.0,
+    under_assignments: float = 0.0,
+) -> dict[str, float]:
+    """The complete 13-formula sort-metric family of the reference
+    (/root/reference/src/eval/EnvOverassignmentCalculator.py:108-166),
+    as a pure function of the count aggregates:
+
+    - ``allowed_counts``: per-dimension distinct counts under the rule
+      (allowed_users/ops/resources); each clamps to >= 1 exactly as the
+      reference does, and their product is the factorized
+      allowed_events_count (the O6 rewrite at lines 113-116).
+    - ``total_possible``: |total possible privilege states| — the
+      overassignment-rate denominator; defaults to allowed_events_count.
+    - ``coverage_rate``: covR as supplied by the caller (the reference
+      sets it from the windowing job).
+
+    Division guards: the reference flags rules with
+    unique_log_entries == 0 invalid *before* scoring (lines 130-136),
+    so the _i variants here clamp their denominators to >= 1 rather
+    than raise — callers apply the M6 validity check separately."""
+    ule = float(unique_log_entries)
+    ale = float(all_log_entries)
+    aec = 1.0
+    for c in allowed_counts:
+        aec *= max(1.0, float(c))
+    ot = aec - ule
+    denom = float(total_possible) if total_possible else aec
+    o_rate = ot / max(1.0, denom)
+    over_r = 1.0 - o_rate
+    cov_r = float(coverage_rate)
+    w = max(1.0, float(wsc))
+    cov_rw = ale / w
+    b = float(beta)
+    hm_denom = (b * b) * over_r + cov_r
+    over_total = ot if ot > 0 else 1.0
+    ule_d = max(1.0, ule)
+    ale_d = max(1.0, ale)
+    return {
+        "wsc": w,
+        "overassignment_total": ot,
+        "overassignment_rate": o_rate,
+        "harmonic_mean": (
+            (1 + b * b) * (over_r * cov_r) / hm_denom if hm_denom != 0 else 0.0
+        ),
+        "arithmetic_mean": ((b * cov_r) + over_r) / 2.0,
+        "arithmetic_mean_wsc": ((b * cov_rw) + over_r) / 2.0,
+        "product": (ule * b) / over_total,
+        "Qrul_count1": ule * (1.0 - (b * ot) / aec),
+        "Qrul_count1_i": ule * (1.0 - (b * ot) / ule_d),
+        "Qrul_freq1": ale * (1.0 - (b * ot) / aec),
+        "Qrul_freq1_i": ale * (1.0 - (b * ot) / ale_d),
+        "l_dist": float(under_assignments) + b * ot,
+        "Qrul_count": (ule / w) * (1.0 - (b * ot) / aec),
+        "Qrul_count_i": (ule / w) * (1.0 - (b * ot) / ule_d),
+        "Qrul_freq": (ale / w) * (1.0 - (b * ot) / aec),
+        "Qrul_freq_i": (ale / w) * (1.0 - (b * ot) / ale_d),
+    }
+
+
+METRIC_NAMES = (
+    "harmonic_mean",
+    "arithmetic_mean",
+    "arithmetic_mean_wsc",
+    "product",
+    "Qrul_count1",
+    "Qrul_count1_i",
+    "Qrul_freq1",
+    "Qrul_freq1_i",
+    "l_dist",
+    "Qrul_count",
+    "Qrul_count_i",
+    "Qrul_freq",
+    "Qrul_freq_i",
+)
+
+
 def score_candidates(
     uncovered: DataFrame,
     all_df: DataFrame,
@@ -116,39 +199,98 @@ def score_candidates(
     - l_dist    = sqrt((1-cov)^2 + (1-oa)^2)  (minimized)
     - wsc penalty via constraint count (WscCalculator.py:24-53)
     ``dims`` maps dimension name -> column for the factorized counts
-    (defaults to the constraint keys themselves)."""
-    aggs = []
-    for i, r in enumerate(candidates):
-        pred = r.predicate()
-        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"c{i}"))
-        for dname, dcol in (dims or {}).items():
-            aggs.append(
-                F.countDistinct(F.when(pred, F.col(dcol))).alias(f"d{i}_{dname}")
-            )
-    row = uncovered.agg(*aggs).collect()[0]
+    (defaults to the constraint keys themselves).
+
+    Plan shape (no Expand): candidate matches are EXPLODED to
+    (rule_id, ...) rows, then aggregated with at most one distinct
+    aggregate per job — Catalyst plans N exact ``countDistinct`` columns
+    in one .agg() via an Expand node that replicates input rows N times
+    (50 candidates x 3 dims = 150x the scan), which this layout avoids.
+    The cheap scan+filter+explode subtree is recomputed once per job
+    instead of replicated per aggregate."""
+    match_ids = F.array_compact(
+        F.array(
+            *[
+                F.when(r.predicate(), F.lit(i)).otherwise(F.lit(None))
+                for i, r in enumerate(candidates)
+            ]
+        )
+    )
+    row_hash = F.xxhash64(*[F.col(c) for c in uncovered.columns])
+    matched = uncovered.select(
+        F.explode(match_ids).alias("rule_id"),
+        row_hash.alias("row_h"),
+        *[F.col(dcol).alias(f"_dim_{dname}") for dname, dcol in (dims or {}).items()],
+    )
+    # job A: per-rule covered counts — ALE = rows, ULE = distinct rows
+    # (one distinct aggregate -> two-phase hash agg, no Expand)
+    cov_rows = {
+        r["rule_id"]: (r["ale"], r["ule"])
+        for r in matched.groupBy("rule_id")
+        .agg(F.count("*").alias("ale"), F.countDistinct("row_h").alias("ule"))
+        .collect()
+    }
+    # job B: per-(rule, dim) distinct counts via one exploded
+    # groupBy-distinct pass (the factorized allowed_events_count inputs)
+    dim_rows: dict[tuple[int, str], int] = {}
+    universe: dict[str, int] = {}
+    if dims:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(dname).alias("dim"),
+                    F.col(f"_dim_{dname}").cast("string").alias("val"),
+                )
+                for dname in dims
+            ]
+        )
+        exploded = matched.select("rule_id", F.explode(pairs).alias("p"))
+        for r in (
+            exploded.groupBy("rule_id", "p.dim")
+            .agg(F.countDistinct("p.val").alias("nd"))
+            .collect()
+        ):
+            dim_rows[(r["rule_id"], r["dim"])] = r["nd"]
+        # universe denominators: approximate is fine (feeds a rate
+        # heuristic only) and avoids the multi-distinct Expand entirely
+        urow = uncovered.agg(
+            *[
+                F.approx_count_distinct(dcol).alias(dname)
+                for dname, dcol in dims.items()
+            ]
+        ).collect()[0]
+        universe = {dname: max(1, urow[dname]) for dname in dims}
     n_uncovered = uncovered.count()
+    total_possible = 1.0
+    for v in universe.values():
+        total_possible *= v
     for i, r in enumerate(candidates):
-        covered = row[f"c{i}"] or 0
-        cov = covered / max(1, n_uncovered)
+        ale, ule = cov_rows.get(i, (0, 0))
+        cov = ale / max(1, n_uncovered)
+        allowed_counts = (
+            [dim_rows.get((i, dname), 0) for dname in dims] if dims else [ule]
+        )
         allowed = 1.0
-        for dname in dims or {}:
-            allowed *= max(1, row[f"d{i}_{dname}"] or 0)
+        for c in allowed_counts:
+            allowed *= max(1, c)
         # without dimension info there is no universe estimate: treat the
         # rule as tight (oa=1) so the metric reduces to coverage
-        oa = (covered / allowed) if dims else 1.0
-        r.support = covered
-        r.metrics = {
-            "coverage": cov,
-            "overassignment": oa,
-            "c_score": (
-                (1 + beta**2) * cov * oa / (beta**2 * oa + cov)
-                if (cov + oa) > 0
-                else 0.0
-            ),
-            "product": cov * oa,
-            "l_dist": ((1 - cov) ** 2 + (1 - oa) ** 2) ** 0.5,
-            "wsc": float(len(r.constraints)),
-        }
+        oa = (ale / allowed) if dims else 1.0
+        r.support = ale
+        suite = metric_suite(
+            unique_log_entries=ule,
+            all_log_entries=ale,
+            allowed_counts=allowed_counts,
+            wsc=len(r.constraints),
+            beta=beta,
+            total_possible=total_possible if dims else None,
+            coverage_rate=cov,
+            under_assignments=n_uncovered - ale,
+        )
+        legacy_c = (
+            (1 + beta**2) * cov * oa / (beta**2 * oa + cov) if (cov + oa) > 0 else 0.0
+        )
+        r.metrics = {**suite, "coverage": cov, "overassignment": oa, "c_score": legacy_c}
         if metric == "l_dist":
             r.score = -r.metrics["l_dist"]  # minimized in the reference
         elif metric in r.metrics:
@@ -156,9 +298,40 @@ def score_candidates(
         else:
             r.score = cov - 0.001 * len(r.constraints)
         # M6 validity check (EnvOverassignmentCalculator.py:130-136)
-        if covered == 0:
+        if ale == 0:
             r.score = float("-inf")
     return candidates
+
+
+def _low_frequency_remaining_rules(uncovered: DataFrame, cols: list[str]) -> list[Rule]:
+    """F5 fallback #1 (low_frequency_remaining_rules,
+    /root/reference/src/EnvAbacRuleMiner.py:249-258): when FP-growth finds
+    nothing above min_support, every remaining DISTINCT row becomes its
+    own fully-constrained rule so the cover is total.  One distinct pass
+    — the remainder at this point is by construction the low-frequency
+    tail, so the collect is small relative to the input."""
+    rows = uncovered.select(*cols).distinct().collect()
+    return [
+        Rule(
+            constraints={c: ("NONE" if row[c] is None else str(row[c])) for c in cols},
+            support=1,
+        )
+        for row in rows
+    ]
+
+
+def _rule_from_last_log_entry(uncovered: DataFrame, cols: list[str]) -> Rule | None:
+    """F5 fallback #2 (rule_from_last_log_entry,
+    /root/reference/src/EnvAbacRuleMiner.py:260-266): a single remaining
+    entry becomes one fully-constrained rule."""
+    rows = uncovered.select(*cols).limit(1).collect()
+    if not rows:
+        return None
+    row = rows[0]
+    return Rule(
+        constraints={c: ("NONE" if row[c] is None else str(row[c])) for c in cols},
+        support=1,
+    )
 
 
 def mine_rules(
@@ -167,15 +340,30 @@ def mine_rules(
     min_support: float = 0.1,
     max_rules: int = 20,
     candidate_limit: int = 50,
+    total_cover: bool = True,
+    tail_rule_limit: int = 10_000,
 ) -> Policy:
     """Greedy set-cover mining loop (mine_rules_for_window,
-    /root/reference/src/EnvAbacRuleMiner.py:133-232)."""
+    /root/reference/src/EnvAbacRuleMiner.py:133-232).
+
+    ``total_cover=True`` adds the reference's degenerate-rule fallbacks
+    (EnvAbacRuleMiner.py:249-266): when mining strands a remainder —
+    FP-growth returns nothing above min_support, or the rule budget runs
+    out — every remaining distinct row becomes its own rule (capped at
+    ``tail_rule_limit``), and a final single entry becomes one rule, so
+    the emitted policy covers every input row."""
     uncovered = df.select(*cols).localCheckpoint()
     policy = Policy()
     while len(policy.rules) < max_rules:
         remaining = uncovered.count()
-        if remaining <= 1:
-            break
+        if remaining == 0:
+            return policy
+        if remaining == 1:
+            if total_cover:
+                last = _rule_from_last_log_entry(uncovered, cols)
+                if last is not None:
+                    policy.rules.append(last)
+            return policy
         freq = frequent_itemsets(
             uncovered, cols, min_support=min_support, itemset_limit=candidate_limit
         ).collect()
@@ -192,6 +380,16 @@ def mine_rules(
         # anti-join by deletion (EnvAbacRuleMiner.py:268-272) + eager
         # materialization between iterations (delete refresh=True analog)
         uncovered = uncovered.filter(~best.predicate()).localCheckpoint()
+    if total_cover and uncovered.limit(1).count() > 0:
+        tail = _low_frequency_remaining_rules(
+            uncovered.limit(tail_rule_limit + 1), cols
+        )
+        if len(tail) > tail_rule_limit:
+            raise ValueError(
+                f"total_cover tail exceeds tail_rule_limit={tail_rule_limit}; "
+                "raise the limit or lower min_support"
+            )
+        policy.rules.extend(tail)
     return policy
 
 

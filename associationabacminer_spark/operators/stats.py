@@ -83,6 +83,47 @@ def column_entropy(df: DataFrame, col: str) -> float:
     return float(row["h"] or 0.0)
 
 
+def dedup_summaries_by_beta(
+    df: DataFrame,
+    beta_col: str = "beta",
+    order_cols: tuple[str, ...] = ("itemset_limit",),
+) -> DataFrame:
+    """T7: deduplicate experiment summaries keeping one row per beta —
+    the reference stable-sorts by itemset_limit then beta and keeps the
+    first summary seen per beta (/root/reference/src/job/AUCPrinter.py:9-19).
+    Distributed equivalent: row_number over (beta) ordered by the same
+    keys; ``order_cols`` must end in a unique tiebreaker for determinism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(beta_col).orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def multi_resource_type_counts(df: DataFrame, arns_col: str) -> DataFrame:
+    """E8: events-with-multiple-resources-of-same-type counting
+    (/root/reference/src/experiment/MultipleResourceCounter.py:14-33).
+    ``arns_col`` is an array<string> of ARNs; the resource type is
+    parsed per element with the N10 codec (arn.split(':')[5].split('/')[0],
+    EventNormalizerNg.py:77).  Pure Catalyst (transform/array_distinct) —
+    one pass, one 1-row aggregate, no Python in the row path."""
+    types = F.transform(
+        F.col(arns_col), lambda a: F.split(F.split(a, ":")[5], "/")[0]
+    )
+    n_res = F.size(F.col(arns_col))
+    n_types = F.size(F.array_distinct(types))
+    return df.select(
+        n_res.alias("n_res"), (n_res - n_types).alias("n_dup_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("events"),
+        F.sum((F.col("n_res") > 0).cast("int")).cast("bigint").alias("events_w_resources"),
+        F.sum("n_dup_type").cast("bigint").alias("multiple_same_type"),
+    )
+
+
 def deterministic_mask(df: DataFrame, cols: list[str], salt: str = "") -> DataFrame:
     """S8 anonymizer: deterministic masking rewrite — uuid/IP mapping in
     the reference (/root/reference/src/event_anonymizer.py:54-108) becomes

@@ -1445,3 +1445,316 @@ def q56(spark, sf_dir):
     rows.append(("pca_descending_and_sum", float(round(sum(ev_frac), 6)), 1.0, 1.0,
                  bool(ok_desc and sum(ev_frac) <= 1.0 + 1e-9)))
     return _sketch_summary(spark, rows)
+
+
+# =========================================================================
+# Round-2 correctness anchors: N4/N5/N8/N10 normalizers, T7/E8 utilities,
+# the full M1 metric suite, and the P4 negation predicate.  The testdata
+# has no userAgent/IP/ARN columns, so each query synthesizes them
+# DETERMINISTICALLY from event_id arithmetic — reproduced independently
+# in the DuckDB oracle — and then exercises the named normalizer.
+# =========================================================================
+
+_UA_LITERALS = [
+    "aws-sdk-java/1.11.300 Linux/4.9",
+    "Boto3/1.9.0 Python/3.7 botocore/1.12",
+    "console.amazonaws.com",
+    "Mozilla/5.0 (Windows NT 10.0; Win64)",
+    "custom-client/2.0",
+    "signin.amazonaws.com",
+]
+
+
+@query(
+    "q57_agent_bin",
+    """
+    WITH ua_tbl AS (
+      SELECT CASE CAST(event_id % 6 AS INT)
+        WHEN 0 THEN 'aws-sdk-java/1.11.300 Linux/4.9'
+        WHEN 1 THEN 'Boto3/1.9.0 Python/3.7 botocore/1.12'
+        WHEN 2 THEN 'console.amazonaws.com'
+        WHEN 3 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64)'
+        WHEN 4 THEN 'custom-client/2.0'
+        ELSE 'signin.amazonaws.com' END AS ua
+      FROM events)
+    SELECT CASE
+        WHEN lower(ua) LIKE '%aws-sdk%' THEN 'aws-sdk'
+        WHEN lower(ua) LIKE '%aws-cli%' OR lower(ua) LIKE '%botocore%' THEN 'aws-cli'
+        WHEN lower(ua) LIKE '%console%' THEN 'console'
+        WHEN lower(ua) LIKE '%amazonaws%' OR lower(ua) LIKE '%internal%' THEN 'internal'
+        ELSE 'other' END AS agent,
+      COUNT(*) AS n
+    FROM ua_tbl GROUP BY 1
+    """,
+)
+def q57(spark, sf_dir):
+    """N4 userAgent binning anchor (ConfigurableEventNormalizer.py:171-210):
+    synthesize a deterministic UA column, bin with agent_bin, count."""
+    ev = _t(spark, sf_dir, "events")
+    ua = F.element_at(
+        F.array(*[F.lit(s) for s in _UA_LITERALS]),
+        (F.col("event_id") % 6 + 1).cast("int"),
+    )
+    return (
+        ev.select(N.agent_bin(ua).alias("agent"))
+        .groupBy("agent")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_INVOKED_BY_LITERALS = [
+    "signin.amazonaws.com",
+    "ec2.amazonaws.com",
+    "lambda-internal.svc",
+    "arn:aws:iam::123456789012:user/alice",
+    "cloudtrail.amazonaws.com",
+]
+
+
+@query(
+    "q58_invoked_by_collapse",
+    """
+    WITH inv_tbl AS (
+      SELECT CASE CAST(event_id % 5 AS INT)
+        WHEN 0 THEN 'signin.amazonaws.com'
+        WHEN 1 THEN 'ec2.amazonaws.com'
+        WHEN 2 THEN 'lambda-internal.svc'
+        WHEN 3 THEN 'arn:aws:iam::123456789012:user/alice'
+        ELSE 'cloudtrail.amazonaws.com' END AS inv
+      FROM events)
+    SELECT CASE
+        WHEN inv = 'signin.amazonaws.com' THEN inv
+        WHEN inv LIKE '%amazonaws%' OR lower(inv) LIKE '%internal%' THEN 'internal'
+        ELSE inv END AS invoked_by,
+      COUNT(*) AS n
+    FROM inv_tbl GROUP BY 1
+    """,
+)
+def q58(spark, sf_dir):
+    """N8 invokedBy collapse anchor
+    (ConfigurableEventNormalizer.py:85-90)."""
+    ev = _t(spark, sf_dir, "events")
+    inv = F.element_at(
+        F.array(*[F.lit(s) for s in _INVOKED_BY_LITERALS]),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    return (
+        ev.select(N.invoked_by_collapse(inv).alias("invoked_by"))
+        .groupBy("invoked_by")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q59_dedup_by_beta",
+    """
+    SELECT beta, itemset_limit, summary_id FROM (
+      SELECT event_id AS summary_id,
+             (event_id % 7) / 10.0 AS beta,
+             event_id % 13 AS itemset_limit
+      FROM events)
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY beta ORDER BY itemset_limit, summary_id) = 1
+    """,
+)
+def q59(spark, sf_dir):
+    """T7 dedup-summaries-by-beta anchor (AUCPrinter.py:9-19): keep one
+    summary per beta, the one first under the (itemset_limit, id) sort."""
+    from associationabacminer_spark.operators.stats import dedup_summaries_by_beta
+
+    ev = _t(spark, sf_dir, "events")
+    summaries = ev.select(
+        F.col("event_id").alias("summary_id"),
+        (F.col("event_id") % 7 / F.lit(10.0)).alias("beta"),
+        (F.col("event_id") % 13).alias("itemset_limit"),
+    )
+    return dedup_summaries_by_beta(
+        summaries, "beta", ("itemset_limit", "summary_id")
+    ).select("beta", "itemset_limit", "summary_id")
+
+
+@query(
+    "q60_multi_resource_types",
+    """
+    WITH r AS (
+      SELECT CAST(event_id % 4 AS INT) AS n_res,
+             list_transform(
+               generate_series(1, CAST(event_id % 4 AS INT)),
+               i -> ['bucket','key','instance','table'][CAST((event_id + i) % 4 AS INT) + 1]
+             ) AS types
+      FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(SUM(CASE WHEN n_res > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS events_w_resources,
+           CAST(SUM(n_res - len(list_distinct(types))) AS BIGINT)
+             AS multiple_same_type
+    FROM r
+    """,
+)
+def q60(spark, sf_dir):
+    """E8 multi-resource counting + N10 ARN parsing anchor
+    (MultipleResourceCounter.py:14-33, EventNormalizerNg.py:77): the
+    Spark side builds real ARN strings and PARSES the type back out with
+    the N10 codec; the oracle derives the types arithmetically."""
+    from associationabacminer_spark.operators.stats import multi_resource_type_counts
+
+    ev = _t(spark, sf_dir, "events")
+    types_arr = F.array(
+        F.lit("bucket"), F.lit("key"), F.lit("instance"), F.lit("table")
+    )
+    n_res = (F.col("event_id") % 4).cast("int")
+    arns = F.when(
+        n_res > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_res),
+            lambda i: F.concat(
+                F.lit("arn:aws:svc:us-east-1:123456789012:"),
+                F.element_at(types_arr, ((F.col("event_id") + i) % 4 + 1).cast("int")),
+                F.lit("/r"),
+                i.cast("string"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return multi_resource_type_counts(ev.select(arns.alias("arns")), "arns")
+
+
+@query(
+    "q61_metric_suite",
+    """
+    WITH m AS (SELECT * FROM events WHERE event_type IN ('view', 'click')),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM events),
+    uni AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+                 * CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS total_possible
+            FROM events),
+    c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ale,
+                 CAST(COUNT(DISTINCT (user_id, event_type)) AS DOUBLE) AS ule,
+                 CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS au,
+                 CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS ao
+          FROM m),
+    k AS (SELECT ale, ule, au * ao AS aec, au * ao - ule AS ot,
+                 1.0 - (au * ao - ule) / total_possible AS over_r,
+                 ale / n_total AS cov_r,
+                 n_total - ale AS ua
+          FROM c, tot, uni)
+    SELECT
+      ROUND((1 + 0.25) * (over_r * cov_r) / (0.25 * over_r + cov_r), 6)
+        AS harmonic_mean,
+      ROUND((0.5 * cov_r + over_r) / 2, 6) AS arithmetic_mean,
+      ROUND((0.5 * ale + over_r) / 2, 6) AS arithmetic_mean_wsc,
+      ROUND(ule * 0.5 / (CASE WHEN ot > 0 THEN ot ELSE 1 END), 6) AS product,
+      ROUND(ule * (1 - 0.5 * ot / aec), 6) AS Qrul_count1,
+      ROUND(ule * (1 - 0.5 * ot / ule), 6) AS Qrul_count1_i,
+      ROUND(ale * (1 - 0.5 * ot / aec), 6) AS Qrul_freq1,
+      ROUND(ale * (1 - 0.5 * ot / ale), 6) AS Qrul_freq1_i,
+      ROUND(ua + 0.5 * ot, 6) AS l_dist,
+      ROUND(ule * (1 - 0.5 * ot / aec), 6) AS Qrul_count,
+      ROUND(ule * (1 - 0.5 * ot / ule), 6) AS Qrul_count_i,
+      ROUND(ale * (1 - 0.5 * ot / aec), 6) AS Qrul_freq,
+      ROUND(ale * (1 - 0.5 * ot / ale), 6) AS Qrul_freq_i
+    FROM k
+    """,
+)
+def q61(spark, sf_dir):
+    """M1 full 13-metric suite anchor
+    (EnvOverassignmentCalculator.py:108-166): exact counts for the fixed
+    rule event_type IN ('view','click') feed metric_suite (beta=0.5,
+    wsc=1); the oracle recomputes every formula in SQL.  With wsc=1 the
+    /wsc variants coincide with their numerators, which the oracle
+    mirrors."""
+    from associationabacminer_spark.operators.rulemine import (
+        METRIC_NAMES,
+        metric_suite,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type").isin("view", "click"))
+    ale = m.count()
+    ule = m.select("user_id", "event_type").distinct().count()
+    au = m.select("user_id").distinct().count()
+    ao = m.select("event_type").distinct().count()
+    n_total = ev.count()
+    tu = ev.select("user_id").distinct().count()
+    te = ev.select("event_type").distinct().count()
+    suite = metric_suite(
+        unique_log_entries=ule,
+        all_log_entries=ale,
+        allowed_counts=[au, ao],
+        wsc=1,
+        beta=0.5,
+        total_possible=tu * te,
+        coverage_rate=ale / n_total,
+        under_assignments=n_total - ale,
+    )
+    row = tuple(float(round(suite[k], 6)) for k in METRIC_NAMES)
+    return spark.createDataFrame(
+        [row], ", ".join(f"{k} double" for k in METRIC_NAMES)
+    )
+
+
+@query(
+    "q62_ip_normalize",
+    """
+    WITH ips AS (
+      SELECT CASE CAST(event_id % 5 AS INT)
+        WHEN 0 THEN '10.' || CAST(event_id % 200 AS VARCHAR) || '.0.1'
+        WHEN 1 THEN '54.210.' || CAST(event_id % 200 AS VARCHAR) || '.7'
+        WHEN 2 THEN '192.168.' || CAST(event_id % 250 AS VARCHAR) || '.9'
+        WHEN 3 THEN 'ec2.amazonaws.com'
+        ELSE 'internal-gw.example.net' END AS ip
+      FROM events)
+    SELECT CASE
+        WHEN ip LIKE '10.%' THEN 'vpc.internal'
+        WHEN ip LIKE '%amazonaws%' OR ip LIKE '%internal%' THEN 'internal'
+        ELSE string_split(ip, '.')[1] || '.' || string_split(ip, '.')[2]
+             || '.' || string_split(ip, '.')[3] END AS ip_bin,
+      COUNT(*) AS n
+    FROM ips GROUP BY 1
+    """,
+)
+def q62(spark, sf_dir):
+    """N5 IP normalization anchor
+    (ConfigurableEventNormalizer.py:103-120)."""
+    ev = _t(spark, sf_dir, "events")
+    ip = (
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("10."), (F.col("event_id") % 200).cast("string"), F.lit(".0.1")),
+        )
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(F.lit("54.210."), (F.col("event_id") % 200).cast("string"), F.lit(".7")),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit("192.168."), (F.col("event_id") % 250).cast("string"), F.lit(".9")),
+        )
+        .when(F.col("event_id") % 5 == 3, F.lit("ec2.amazonaws.com"))
+        .otherwise(F.lit("internal-gw.example.net"))
+    )
+    return (
+        ev.select(N.ip_normalize(ip).alias("ip_bin"))
+        .groupBy("ip_bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q63_negation_predicate",
+    """
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE event_type IN ('view', 'click') AND user_id NOT IN (1, 2, 3)
+    GROUP BY 1
+    """,
+)
+def q63(spark, sf_dir):
+    """P4 must_not predicate anchor (RuleUtils.py:96-131): conjunctive
+    include terms + negated exclude terms in one Catalyst predicate."""
+    pred = N.constraint_predicate_with_negation(
+        {"event_type": ["view", "click"]}, {"user_id": [1, 2, 3]}
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(pred)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

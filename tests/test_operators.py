@@ -368,3 +368,173 @@ class TestRuleUtilities:
             [("k", str(i % 3)) for i in range(30)], "constant string, varying string"
         )
         assert low_variance_columns(df, ["constant", "varying"]) == ["constant"]
+
+
+class TestMetricSuite:
+    def test_all_13_formulas_on_hand_computed_fixture(self):
+        """Each formula checked against hand-arithmetic for
+        ULE=10, ALE=40, allowed=(4,5)->AEC=20, OT=10, wsc=2, beta=0.5,
+        total_possible=100, covR=0.4, UA=60
+        (EnvOverassignmentCalculator.py:108-166)."""
+        from associationabacminer_spark.operators.rulemine import metric_suite
+
+        s = metric_suite(
+            unique_log_entries=10,
+            all_log_entries=40,
+            allowed_counts=[4, 5],
+            wsc=2,
+            beta=0.5,
+            total_possible=100,
+            coverage_rate=0.4,
+            under_assignments=60,
+        )
+        ot = 20 - 10  # aec - ule
+        over_r = 1 - ot / 100  # 0.9
+        assert s["overassignment_total"] == ot
+        assert s["harmonic_mean"] == pytest.approx(
+            (1 + 0.25) * (over_r * 0.4) / (0.25 * over_r + 0.4)
+        )
+        assert s["arithmetic_mean"] == pytest.approx((0.5 * 0.4 + over_r) / 2)
+        assert s["arithmetic_mean_wsc"] == pytest.approx((0.5 * (40 / 2) + over_r) / 2)
+        assert s["product"] == pytest.approx(10 * 0.5 / 10)
+        assert s["Qrul_count1"] == pytest.approx(10 * (1 - 0.5 * 10 / 20))
+        assert s["Qrul_count1_i"] == pytest.approx(10 * (1 - 0.5 * 10 / 10))
+        assert s["Qrul_freq1"] == pytest.approx(40 * (1 - 0.5 * 10 / 20))
+        assert s["Qrul_freq1_i"] == pytest.approx(40 * (1 - 0.5 * 10 / 40))
+        assert s["l_dist"] == pytest.approx(60 + 0.5 * 10)
+        assert s["Qrul_count"] == pytest.approx((10 / 2) * (1 - 0.5 * 10 / 20))
+        assert s["Qrul_count_i"] == pytest.approx((10 / 2) * (1 - 0.5 * 10 / 10))
+        assert s["Qrul_freq"] == pytest.approx((40 / 2) * (1 - 0.5 * 10 / 20))
+        assert s["Qrul_freq_i"] == pytest.approx((40 / 2) * (1 - 0.5 * 10 / 40))
+
+    def test_allowed_counts_clamp_and_product_guard(self):
+        """Zero allowed counts clamp to 1 (the reference's 'if total > 0
+        else 1'); product's divisor clamps when OT <= 0."""
+        from associationabacminer_spark.operators.rulemine import metric_suite
+
+        s = metric_suite(5, 5, [0, 0], wsc=1, beta=1.0, coverage_rate=1.0)
+        assert s["overassignment_total"] == 1 - 5  # aec=1, ot=-4
+        assert s["product"] == 5.0  # divisor clamped to 1
+
+
+class TestTotalCoverFallbacks:
+    def test_stranded_remainder_still_fully_covered(self, spark):
+        """F5 (EnvAbacRuleMiner.py:249-266): min_support high enough to
+        strand a long tail -> fallback rules must cover every row."""
+        from associationabacminer_spark.operators.rulemine import mine_rules
+
+        rows = [("common", "x") for _ in range(90)] + [
+            (f"rare{i}", f"y{i}") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "et string, b string")
+        policy = mine_rules(df, ["et", "b"], min_support=0.5, max_rules=3)
+        uncovered = df.filter(~policy.allows()).count()
+        assert uncovered == 0, "total_cover must leave no row uncovered"
+        # and the fallback can be disabled for the pure greedy loop
+        partial = mine_rules(
+            df, ["et", "b"], min_support=0.5, max_rules=3, total_cover=False
+        )
+        assert df.filter(~partial.allows()).count() > 0
+
+    def test_single_remaining_row_rule(self, spark):
+        from associationabacminer_spark.operators.rulemine import mine_rules
+
+        rows = [("a", "1") for _ in range(50)] + [("z", "9")]
+        df = spark.createDataFrame(rows, "et string, b string")
+        policy = mine_rules(df, ["et", "b"], min_support=0.4, max_rules=5)
+        assert df.filter(~policy.allows()).count() == 0
+        assert any(r.constraints == {"et": "z", "b": "9"} for r in policy.rules)
+
+
+class TestNormalizerAnchors:
+    def test_invoked_by_collapse(self, spark):
+        from associationabacminer_spark.functions.normalize import invoked_by_collapse
+
+        df = spark.createDataFrame(
+            [
+                ("signin.amazonaws.com",),
+                ("ec2.amazonaws.com",),
+                ("LAMBDA-INTERNAL.svc",),
+                ("arn:aws:iam::1:user/alice",),
+            ],
+            "v string",
+        )
+        got = [r[0] for r in df.select(invoked_by_collapse("v")).collect()]
+        assert got == [
+            "signin.amazonaws.com",
+            "internal",
+            "internal",
+            "arn:aws:iam::1:user/alice",
+        ]
+
+    def test_negation_predicate(self, spark):
+        from associationabacminer_spark.functions.normalize import (
+            constraint_predicate_with_negation,
+        )
+
+        df = spark.createDataFrame(
+            [("view", 1), ("view", 9), ("click", 2), ("error", 9)], "et string, u int"
+        )
+        pred = constraint_predicate_with_negation(
+            {"et": ["view", "click"]}, {"u": [1, 2]}
+        )
+        assert [tuple(r) for r in df.filter(pred).collect()] == [("view", 9)]
+
+
+class TestRuntimeMetrics:
+    def test_observe_counts_rows_and_volume(self, spark):
+        from associationabacminer_spark.plans.metrics import observed
+
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        df, obs = observed(
+            df, rows=F.count(F.lit(1)), vol=F.sum("v"), mx=F.max("id")
+        )
+        df.write.format("noop").mode("overwrite").save()
+        got = obs.get
+        assert got["rows"] == 100 and got["vol"] == 9900 and got["mx"] == 99
+
+    def test_accumulator_live_row_count(self, spark):
+        from associationabacminer_spark.plans.metrics import (
+            with_row_count_accumulator,
+        )
+
+        acc = spark.sparkContext.accumulator(0)
+        df = with_row_count_accumulator(spark.range(257), acc)
+        assert df.count() == 257
+        assert acc.value == 257
+
+
+class TestSummaryUtilities:
+    def test_dedup_by_beta_keeps_first_per_beta(self, spark):
+        from associationabacminer_spark.operators.stats import dedup_summaries_by_beta
+
+        rows = [
+            (0.5, 3, 10),
+            (0.5, 1, 11),
+            (0.5, 1, 12),  # tie on itemset_limit -> summary_id breaks it
+            (1.0, 7, 13),
+        ]
+        df = spark.createDataFrame(rows, "beta double, itemset_limit int, summary_id int")
+        got = sorted(
+            tuple(r)
+            for r in dedup_summaries_by_beta(
+                df, "beta", ("itemset_limit", "summary_id")
+            ).collect()
+        )
+        assert got == [(0.5, 1, 11), (1.0, 7, 13)]
+
+    def test_multi_resource_type_counts(self, spark):
+        from associationabacminer_spark.operators.stats import (
+            multi_resource_type_counts,
+        )
+
+        rows = [
+            (["arn:aws:s3:r:1:bucket/a", "arn:aws:s3:r:1:bucket/b"],),  # dup type
+            (["arn:aws:s3:r:1:bucket/a", "arn:aws:ec2:r:1:instance/i"],),
+            ([],),
+        ]
+        df = spark.createDataFrame(rows, "arns array<string>")
+        row = multi_resource_type_counts(df, "arns").collect()[0]
+        assert row["events"] == 3
+        assert row["events_w_resources"] == 2
+        assert row["multiple_same_type"] == 1

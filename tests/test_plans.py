@@ -115,3 +115,75 @@ class TestSuitePlan:
         # formatted plans list each node once in the tree and once in the
         # detail section -> a single physical Exchange appears twice
         assert plan.count("Exchange") <= 2, plan
+
+
+class TestScoreCandidatesPlan:
+    def test_no_expand_for_many_candidates(self, spark):
+        """Scoring 50 candidates x 3 dims must NOT plan an Expand node:
+        Catalyst rewrites N exact countDistinct columns in one .agg()
+        via Expand (input replicated N times, a 150x scan at 100 TB).
+        The exploded (rule_id, dim, value) layout keeps every job at
+        <= 1 distinct aggregate (VERDICT.md round 1, scale-killer #2)."""
+        from associationabacminer_spark.operators.rulemine import Rule
+
+        rows = [(f"t{i % 10}", str(i % 5), str(i % 3)) for i in range(200)]
+        df = spark.createDataFrame(rows, "a string, b string, c string")
+        candidates = [
+            Rule(constraints={"a": f"t{i % 10}", "b": str(i % 5)}) for i in range(50)
+        ]
+        # reproduce score_candidates' two aggregation jobs and assert on
+        # their plans (the function itself collect()s eagerly)
+        match_ids = F.array_compact(
+            F.array(
+                *[
+                    F.when(r.predicate(), F.lit(i)).otherwise(F.lit(None))
+                    for i, r in enumerate(candidates)
+                ]
+            )
+        )
+        matched = df.select(
+            F.explode(match_ids).alias("rule_id"),
+            F.xxhash64("a", "b", "c").alias("row_h"),
+            F.col("a").alias("_dim_a"),
+            F.col("b").alias("_dim_b"),
+            F.col("c").alias("_dim_c"),
+        )
+        job_a = matched.groupBy("rule_id").agg(
+            F.count("*").alias("ale"), F.countDistinct("row_h").alias("ule")
+        )
+        pairs = F.array(
+            *[
+                F.struct(F.lit(d).alias("dim"), F.col(f"_dim_{d}").alias("val"))
+                for d in ("a", "b", "c")
+            ]
+        )
+        job_b = (
+            matched.select("rule_id", F.explode(pairs).alias("p"))
+            .groupBy("rule_id", "p.dim")
+            .agg(F.countDistinct("p.val").alias("nd"))
+        )
+        assert "Expand" not in plan_of(job_a)
+        assert "Expand" not in plan_of(job_b)
+
+    def test_scores_match_naive_reference(self, spark):
+        """The exploded layout must produce the same counts as the naive
+        per-candidate conditional aggregation it replaced."""
+        from associationabacminer_spark.operators.rulemine import (
+            Rule,
+            score_candidates,
+        )
+
+        rows = [(f"t{i % 4}", str(i % 3)) for i in range(120)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        cands = [Rule(constraints={"a": f"t{k}"}) for k in range(4)]
+        scored = score_candidates(
+            df, df, cands, dims={"b": "b"}, beta=1.0, metric="coverage"
+        )
+        for k, r in enumerate(scored):
+            exact = df.filter(F.col("a") == f"t{k}").count()
+            assert r.support == exact
+            assert abs(r.metrics["coverage"] - exact / 120) < 1e-9
+            nd = (
+                df.filter(F.col("a") == f"t{k}").select("b").distinct().count()
+            )
+            assert r.metrics["overassignment"] == pytest.approx(exact / nd)
