@@ -209,24 +209,54 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return sim
 
 
-def simhash_near_pairs(
-    sim_df: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
-) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= k, blocked on the high
-    ``prefix_bits`` of the simhash to avoid the full cross join."""
-    blocked = sim_df.withColumn(
-        "block", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= k via PIGEONHOLE banding:
+    the 64 bits split into ``max_hamming + 1`` contiguous blocks, so any
+    pair within distance k agrees exactly on at least one block
+    (pigeonhole: k differing bits cannot touch all k+1 blocks).  Each
+    block is an equi-join key; candidates are the union over blocks,
+    deduplicated, then re-checked with the exact popcount — guaranteed
+    recall 1.0 at distance <= k, never an all-pairs join.
+
+    (Replaces the round-1 single-prefix blocking, which silently dropped
+    any pair whose differing bits fell inside the prefix — VERDICT.md
+    round 1, scale-killer #3.)"""
+    n_blocks = max_hamming + 1
+    base = 64 // n_blocks
+    rem = 64 % n_blocks
+    # block i covers [off_i, off_i + width_i); widths differ by <= 1
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("key"),
+            )
+            for i in range(n_blocks)
+        ]
     )
-    a = blocked.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block"
+    keyed = sim_df.select(
+        F.col("doc_id"), F.col("simhash"), F.explode(blocks).alias("b")
+    ).select("doc_id", "simhash", "b.blk", "b.key")
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key"
     )
-    b = blocked.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block"
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key"
+    )
+    cands = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -137,13 +137,70 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
-    Small-scale exact form; at scale, pre-bucket with ``bucket_expr``."""
+    Exact all-pairs form — the correctness baseline for
+    ``embedding_near_dup_pairs_banded``, O(n^2); never the scale path."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 16,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via BANDED hyperplane LSH + exact
+    re-check: candidates are pairs agreeing on all ``planes_per_band``
+    sign bits in at least one band (an equi-join on (band, bucket) — no
+    CartesianProduct anywhere, VERDICT.md round 1 scale-killer #5); the
+    exact cosine filter then removes false positives, so precision is 1.
+
+    Recall: a pair at cos >= t agrees on one plane w.p. 1 - arccos(t)/pi;
+    at t=0.99 with 16 bands x 8 planes the per-pair miss probability is
+    (1 - 0.955^8)^16 ~ 6e-9 — statistically exact.  For lower thresholds
+    raise ``bands``/lower ``planes_per_band`` (the usual S-curve trade)."""
+    dims = len(df.select(vec_col).first()[0])
+    hp = hyperplanes(dims, bands * planes_per_band, seed)
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                bucket_expr(
+                    vec_col, hp[b * planes_per_band : (b + 1) * planes_per_band]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(band_buckets).alias("bb"),
+    ).select("vid", "vec", "bb.band", "bb.bucket")
+    a = keyed.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("va"), "band", "bucket"
+    )
+    b = keyed.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "band", "bucket"
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

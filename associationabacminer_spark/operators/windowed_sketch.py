@@ -30,12 +30,35 @@ def windowed_sketches(
     ts_col: str = "ts",
     width: str = "3 days",
     slide: str = "1 day",
+    salts: int = 8,
 ) -> DataFrame:
-    """One row per (window, sketch): the window-grouped analog of
-    ``build_sketches`` + per-window merge in a single applyInPandas pass
-    per window (windows are independent, so this parallelizes across
-    them; partial-per-partition + merge applies within huge windows via
-    the main harness instead)."""
+    """One row per (window, sketch): salted partial builds merged per
+    window — see ``windowed_sketch_partials`` for the scale rationale."""
+    return _merge_window_partials(
+        windowed_sketch_partials(df, specs, ts_col, width, slide, salts), specs
+    )
+
+
+def windowed_sketch_partials(
+    df: DataFrame,
+    specs,
+    ts_col: str = "ts",
+    width: str = "3 days",
+    slide: str = "1 day",
+    salts: int = 8,
+) -> DataFrame:
+    """One row per (window, salt, sketch): the window-grouped analog of
+    ``build_sketches``'s partial stage.
+
+    Scale shape: grouping by window alone would materialize an entire
+    window's rows in ONE pandas task (a day of a 100-TB table OOMs one
+    executor — VERDICT.md round 1, scale-killer #1).  Instead the build
+    groups by (window, salt) — ``salts`` partial sketches per window,
+    each bounded at ~1/salts of the window — and a second stage merges
+    the fixed-size partials per window.  The salt is a deterministic
+    content hash, and the merge sorts by salt, so the result is
+    bit-reproducible across any input partitioning (the same invariant
+    the main harness's group builds keep, agg.py)."""
     import time as _time
 
     from associationabacminer_spark.operators.agg import _clean, NULL_SENTINEL
@@ -55,8 +78,12 @@ def windowed_sketches(
             cn = s.column
             exprs.setdefault(cn, F.col(cn))
         spec_cols.append(cn)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(s.column) for s in specs], F.lit(0x5A17)), F.lit(salts)
+    ).cast("int")
     proj = df.select(
         F.window(ts_col, width, slide).alias("__w__"),
+        salt.alias("__salt__"),
         *[v.alias(k) for k, v in exprs.items()],
     )
     spec_list = [
@@ -73,6 +100,7 @@ def windowed_sketches(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         ws = pdf["__w__"].iloc[0]
+        salt_id = int(pdf["__salt__"].iloc[0])
         out = []
         for name, make, column, dropna, prehash, sentinel in spec_list:
             t0 = _time.perf_counter()
@@ -88,6 +116,7 @@ def windowed_sketches(
                     ws["start"],
                     ws["end"],
                     name,
+                    salt_id,
                     len(arr),
                     kernel.serialize(),
                     _time.perf_counter() - t0,
@@ -99,13 +128,50 @@ def windowed_sketches(
                 "window_start",
                 "window_end",
                 "sketch_name",
+                "salt",
                 "row_count",
                 "sketch",
                 "wall_time_s",
             ],
         )
 
-    return proj.groupBy("__w__").applyInPandas(build, schema=WINDOW_LINEAGE_SCHEMA)
+    partial_schema = (
+        "window_start timestamp, window_end timestamp, sketch_name string, "
+        "salt int, row_count long, sketch binary, wall_time_s double"
+    )
+    return proj.groupBy("__w__", "__salt__").applyInPandas(
+        build, schema=partial_schema
+    )
+
+
+def _merge_window_partials(partials: DataFrame, specs) -> DataFrame:
+    """Merge (window, salt) partial sketches into one row per window,
+    in salt order for reproducibility.  Input per group is ``salts``
+    fixed-size serialized sketches — bytes, not rows."""
+    deser = {s.name: (s.kernel_cls or type(s.make())).deserialize for s in specs}
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt", kind="stable")
+        name = pdf["sketch_name"].iloc[0]
+        de = deser[name]
+        kernels = [de(b) for b in pdf["sketch"]]
+        merged = kernels[0]
+        for k in kernels[1:]:
+            merged = type(merged).merge(merged, k)
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "window_end": [pdf["window_end"].iloc[0]],
+                "sketch_name": [name],
+                "row_count": [int(pdf["row_count"].sum())],
+                "sketch": [merged.serialize()],
+                "wall_time_s": [float(pdf["wall_time_s"].sum())],
+            }
+        )
+
+    return partials.groupBy("window_start", "window_end", "sketch_name").applyInPandas(
+        merge, schema=WINDOW_LINEAGE_SCHEMA
+    )
 
 
 def rollup_windows(

@@ -845,11 +845,13 @@ def q35(spark, sf_dir):
     """,
 )
 def q36(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs at 0.99."""
+    """Embedding-cosine near-duplicate pairs at 0.99 — banded-LSH
+    equi-join + exact re-check (per-pair miss prob ~6e-9 at this
+    threshold; the oracle is the exact all-pairs SQL)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return similarity.embedding_near_dup_pairs(
+    return similarity.embedding_near_dup_pairs_banded(
         emb, "vec_id", "embedding", threshold=0.99
     ).select("id_a", "id_b")
 
@@ -1070,7 +1072,7 @@ def q44(spark, sf_dir):
     """SimHash near-dup pairs (rows-only; pure-Spark bit arithmetic)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sim = dedup.simhash64(d, "text", "doc_id")
-    return dedup.simhash_near_pairs(sim, max_hamming=8, prefix_bits=8)
+    return dedup.simhash_near_pairs(sim, max_hamming=8)
 
 
 @query("q45_ann_lsh_topk")
@@ -1758,3 +1760,35 @@ def q63(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q64_asof_join_salted",
+    """
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q64(spark, sf_dir):
+    """Hot-key-safe as-of join: (key, time-bucket) window partitioning
+    with carry-in rows — same semantics as q51, skew-proof plan."""
+    from associationabacminer_spark.operators.asof import asof_join_salted
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    joined = asof_join_salted(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id"],
+        suffix="",
+        bucket_seconds=6 * 3600,
+    )
+    return joined.select("event_id", "user_id", "view_event_id")

@@ -538,3 +538,143 @@ class TestSummaryUtilities:
         assert row["events"] == 3
         assert row["events_w_resources"] == 2
         assert row["multiple_same_type"] == 1
+
+
+class TestWindowedSketchSalting:
+    def test_skewed_window_builds_multiple_partials(self, spark):
+        """A hot window must split into >1 (window, salt) partial task —
+        no single pandas group ever holds a whole window (VERDICT.md
+        round 1, scale-killer #1)."""
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import (
+            windowed_sketch_partials,
+            windowed_sketches,
+        )
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        # 10k rows, ALL in one day: maximal window skew
+        df = spark.range(10_000).select(
+            F.lit("2024-01-01 12:00:00").cast("timestamp").alias("ts"),
+            F.col("id").alias("user_id"),
+        )
+        specs = [
+            SketchSpec(
+                "hll_user", HyperLogLog, "user_id", kernel_cls=HyperLogLog, prehash=True
+            )
+        ]
+        partials = windowed_sketch_partials(
+            df, specs, "ts", "1 day", "1 day", salts=8
+        ).collect()
+        assert len(partials) == 8, "hot window must fan out to all salts"
+        assert {r["salt"] for r in partials} == set(range(8))
+        # and the merged result still estimates correctly
+        merged = windowed_sketches(df, specs, "ts", "1 day", "1 day", salts=8).collect()
+        assert len(merged) == 1
+        h = HyperLogLog.deserialize(bytes(merged[0]["sketch"]))
+        assert merged[0]["row_count"] == 10_000
+        assert abs(h.estimate() - 10_000) <= 3 * h.relative_error * 10_000
+
+
+class TestSimhashPigeonhole:
+    def test_full_recall_vs_brute_force(self, spark):
+        """Pigeonhole banding must find EVERY pair at hamming <= k —
+        including pairs whose differing bits would all fall inside the
+        old 16-bit prefix block (the round-1 recall gap)."""
+        import random
+
+        rng = random.Random(7)
+        base = rng.getrandbits(64)
+        vals = [base]
+        # pairs differing ONLY in the top bits (the old prefix), only in
+        # the bottom bits, and scattered
+        for bits in [(63, 62), (1, 2, 3), (0, 21, 42), (60,), (5, 25, 45)]:
+            v = base
+            for b in bits:
+                v ^= 1 << b
+            vals.append(v)
+        # plus random far-away values
+        vals += [rng.getrandbits(64) for _ in range(40)]
+        to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+        df = spark.createDataFrame(
+            [(i, to_signed(v)) for i, v in enumerate(vals)],
+            "doc_id long, simhash long",
+        )
+        k = 3
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in __import__(
+                "associationabacminer_spark.operators.dedup", fromlist=["x"]
+            ).simhash_near_pairs(df, max_hamming=k).collect()
+        }
+        expect = set()
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                if bin(vals[i] ^ vals[j]).count("1") <= k:
+                    expect.add((i, j))
+        assert got == expect, f"missing={expect - got} extra={got - expect}"
+        assert len(expect) >= 5  # the crafted near pairs are all present
+
+
+class TestAsofSalted:
+    def test_hot_key_matches_unsalted(self, spark):
+        """One key holding 90% of rows: the salted plan must return
+        exactly what the single-partition sweep returns, including
+        cross-bucket carry (left rows in buckets with no right rows)."""
+        from associationabacminer_spark.operators.asof import (
+            asof_join,
+            asof_join_salted,
+        )
+
+        rows_l, rows_r = [], []
+        for i in range(500):
+            k = 1 if i % 10 else 2  # key 1 is hot
+            rows_l.append((i, k, f"2024-01-{(i % 27) + 1:02d} {i % 24:02d}:30:00"))
+        for j in range(80):
+            k = 1 if j % 10 else 2
+            rows_r.append((1000 + j, k, f"2024-01-{(j % 9) + 1:02d} {j % 24:02d}:{j % 60:02d}:00"))
+        left = spark.createDataFrame(rows_l, "lid long, k long, ts_s string").withColumn(
+            "ts", F.col("ts_s").cast("timestamp")
+        ).drop("ts_s")
+        right = spark.createDataFrame(rows_r, "rid long, k long, ts_s string").withColumn(
+            "ts", F.col("ts_s").cast("timestamp")
+        ).drop("ts_s")
+        base = {
+            (r["lid"], r["rid_asof"])
+            for r in asof_join(left, right, "k", "ts", "ts", ["rid"]).collect()
+        }
+        for bucket_s in (3600, 86_400, 7 * 86_400):
+            salted = {
+                (r["lid"], r["rid_asof"])
+                for r in asof_join_salted(
+                    left, right, "k", "ts", "ts", ["rid"], bucket_seconds=bucket_s
+                ).collect()
+            }
+            assert salted == base, f"bucket={bucket_s}"
+
+
+class TestBandedNearDup:
+    def test_banded_matches_exact_all_pairs(self, spark):
+        """Banded LSH + re-check must reproduce the exact crossJoin result
+        on clustered vectors (near-dups present) at t=0.99."""
+        from associationabacminer_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+            embedding_near_dup_pairs_banded,
+        )
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((8, 24))
+        rows = []
+        for i in range(80):
+            v = base[i % 8] + 0.01 * rng.standard_normal(24)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(df, threshold=0.99).collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs_banded(df, threshold=0.99).collect()
+        }
+        assert len(exact) > 50  # clusters really produce near-dups
+        assert banded == exact

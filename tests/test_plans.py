@@ -187,3 +187,12 @@ class TestScoreCandidatesPlan:
                 df.filter(F.col("a") == f"t{k}").select("b").distinct().count()
             )
             assert r.metrics["overassignment"] == pytest.approx(exact / nd)
+
+
+class TestScalePlans:
+    def test_q36_has_no_cartesian_product(self, spark):
+        """Near-dup pairs must candidate via the (band, bucket) equi-join,
+        never an all-pairs CartesianProduct / BroadcastNestedLoopJoin."""
+        plan = plan_of(Q.QUERIES["q36_embedding_neardup"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
