@@ -27,8 +27,23 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from associationabacminer_spark.sketch import BloomFilter, CountMinSketch, HyperLogLog
+from associationabacminer_spark.sketch import (
+    KLL,
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    TDigest,
+)
 
+
+
+def _arrow_cols(df: DataFrame, *cols: str) -> list[np.ndarray]:
+    """Collect a small aggregate to the driver over ARROW (``toArrow``)
+    instead of py4j row objects — the register/word tables can reach
+    10^5-10^6 rows (Bloom words), where row-at-a-time collect() costs
+    seconds of pure driver time and caps scaling (serial component)."""
+    tbl = df.toArrow()
+    return [tbl.column(c).to_numpy(zero_copy_only=False) for c in cols]
 
 def hll_register_table(df: DataFrame, col: str, p: int = 14) -> DataFrame:
     """(idx, rho) register table via pure SQL — <= 2^p rows."""
@@ -50,12 +65,12 @@ def hll_register_table(df: DataFrame, col: str, p: int = 14) -> DataFrame:
 def hll_from_sql(df: DataFrame, col: str, p: int = 14) -> HyperLogLog:
     """HLL built from the SQL register table — register-identical to
     ``HyperLogLog().update_batch(xxhash64 values, prehashed=True)``."""
-    rows = hll_register_table(df, col, p).collect()
+    idx, rho = _arrow_cols(hll_register_table(df, col, p), "idx", "rho")
     out = HyperLogLog(p)
-    if rows:
-        idx = np.array([r["idx"] for r in rows], dtype=np.uint32)
-        rho = np.array([r["rho"] for r in rows], dtype=np.uint32)
-        out._absorb_sparse((idx << np.uint32(6)) | rho)
+    if len(idx):
+        out._absorb_sparse(
+            (idx.astype(np.uint32) << np.uint32(6)) | rho.astype(np.uint32)
+        )
     return out
 
 
@@ -74,13 +89,82 @@ def cms_from_sql(
 ) -> CountMinSketch:
     """CMS from aggregated counts: identical table to streaming every row
     through the prehashed kernel (addition is associative)."""
-    rows = key_counts(df, col).collect()
+    hashes, counts = _arrow_cols(key_counts(df, col), "key_hash", "cnt")
     cms = CountMinSketch(width=width, depth=depth)
-    if rows:
-        hashes = np.array([r["key_hash"] for r in rows], dtype=np.int64)
-        counts = np.array([r["cnt"] for r in rows], dtype=np.int64)
-        cms.update_batch(hashes, counts=counts, prehashed=True)
+    if len(hashes):
+        cms.update_batch(
+            hashes.astype(np.int64), counts=counts.astype(np.int64), prehashed=True
+        )
     return cms
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """(value, count) histogram via ``groupBy(value).count()`` — map-side
+    combined, whole-stage codegen; rows leaving the cluster = distinct
+    values, not input rows.  The quantile-sketch analog of
+    ``key_counts``; intended for DISCRETE columns (integer lengths,
+    pre-binned values) where |distinct| is bounded."""
+    c = F.col(col)
+    return (
+        df.filter(c.isNotNull() & ~F.isnan(c.cast("double")))
+        .groupBy(c.cast("double").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def kll_from_sql(df: DataFrame, col: str, k: int = 200) -> KLL:
+    """KLL built from the JVM-side value histogram via binary-weighted
+    insertion (KLL.update_weighted) — the same multiset as streaming
+    every row, so the published rank bound applies unchanged; Arrow/driver
+    transfer is |distinct values| rows instead of |input| rows.
+
+    For continuous columns whose distinct count approaches the row count,
+    use ``tdigest_from_sql``'s log-binning instead (or the Arrow path)."""
+    vals, cnts = _arrow_cols(value_counts(df, col), "v", "cnt")
+    out = KLL(k=k)
+    if len(vals):
+        out.update_weighted(vals.astype(np.float64), cnts.astype(np.int64))
+    return out
+
+
+def tdigest_bin_table(
+    df: DataFrame, col: str, rel_width: float = 5e-4
+) -> DataFrame:
+    """(bin mean, count) table for a CONTINUOUS non-negative column:
+    symmetric-log binning at relative width ``rel_width``, then per-bin
+    exact mean + count — map-side combined, rows out = occupied bins
+    (~ ln(max/min)/rel_width), not input rows."""
+    c = F.col(col).cast("double")
+    b = (
+        F.signum(c)
+        * F.floor(F.log1p(F.abs(c)) / F.lit(float(rel_width)))
+    ).cast("long")
+    return (
+        df.filter(c.isNotNull() & ~F.isnan(c))
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("cnt"), F.sum(c).alias("s"))
+        .select((F.col("s") / F.col("cnt")).alias("v"), "cnt")
+    )
+
+
+def tdigest_from_sql(
+    df: DataFrame, col: str, delta: float = 200.0, rel_width: float = 5e-4
+) -> TDigest:
+    """t-digest from the JVM-side log-binned histogram: each occupied bin
+    contributes one weighted point at its EXACT in-bin mean — i.e. the
+    bins are pre-clustered centroids, which is precisely what a t-digest
+    merge consumes.  Beyond the sketch's own rank bound this adds at most
+    the mass of one bin (relative value width ``rel_width`` ~ 5e-4) to
+    any quantile's rank error — negligible against the delta=200 bound.
+    Zero Arrow transfer proportional to rows."""
+    vals, cnts = _arrow_cols(tdigest_bin_table(df, col, rel_width), "v", "cnt")
+    out = TDigest(delta=delta)
+    if len(vals):
+        vals = vals.astype(np.float64)
+        cnts = cnts.astype(np.float64)
+        order = np.argsort(vals, kind="stable")
+        out.update_batch(vals[order], weights=cnts[order])
+    return out
 
 
 def bloom_word_table(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
@@ -89,13 +173,21 @@ def bloom_word_table(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
     pos_i = (pmod(h1,m) + i*pmod(h2|1,m)) mod m) -> word grouping with a
     ``bit_or`` aggregate.  At most m/64 rows leave the cluster."""
     m = int(m_bits)
-    keys = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("k")).distinct()
-    h1 = F.pmod(F.xxhash64("k"), F.lit(m))
-    # lit must be BIGINT: Spark hashes IntegerType as 4 bytes, and the
-    # driver-side twin (xxh64_pair_keys) chains an 8-byte long
-    h2 = F.pmod(
-        F.xxhash64("k", F.lit(1).cast("long")).bitwiseOR(F.lit(1)), F.lit(m)
+    # hash BEFORE the distinct: the exchange then carries two int64s per
+    # row instead of the raw key bytes, and distinct-on-hash-pair equals
+    # distinct-on-key up to 128-bit collisions.  lit must be BIGINT:
+    # Spark hashes IntegerType as 4 bytes, and the driver-side twin
+    # (xxh64_pair_keys) chains an 8-byte long.
+    keys = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.xxhash64(col).alias("h1r"),
+            F.xxhash64(col, F.lit(1).cast("long")).alias("h2r"),
+        )
+        .distinct()
     )
+    h1 = F.pmod(F.col("h1r"), F.lit(m))
+    h2 = F.pmod(F.col("h2r").bitwiseOR(F.lit(1)), F.lit(m))
     probes = keys.select(
         h1.alias("h1m"),
         h2.alias("h2m"),
@@ -118,11 +210,9 @@ def bloom_from_sql(df: DataFrame, col: str, m_bits: int, k: int) -> BloomFilter:
     to ``BloomFilter.update_pairs`` over (xxhash64(key), xxhash64(key,1))
     pairs (asserted in tests).  Query with ``contains_pairs`` +
     ``sketch.xxhash.xxh64_pair_keys``."""
-    rows = bloom_word_table(df, col, m_bits, k).collect()
+    idx, words = _arrow_cols(bloom_word_table(df, col, m_bits, k), "word_idx", "word")
     out = BloomFilter(m_bits, k)
-    if rows:
-        idx = np.array([r["word_idx"] for r in rows], dtype=np.int64)
-        words = np.array([r["word"] for r in rows], dtype=np.int64).view(np.uint64)
-        out.words[idx] = words
+    if len(idx):
+        out.words[idx.astype(np.int64)] = words.astype(np.int64).view(np.uint64)
     # n_inserted is informational; recover it cheaply if needed
     return out

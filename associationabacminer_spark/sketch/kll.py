@@ -85,6 +85,31 @@ class KLL:
         self._compress()
         return self
 
+    def update_weighted(self, values, weights) -> "KLL":
+        """Weighted insertion: weight w decomposes in binary and the value
+        is appended once to every level j whose bit is set in w — a level-j
+        item carries weight 2^j, so this is equivalent to inserting the
+        value w times at O(popcount(w)) cost (the standard weighted-stream
+        KLL extension).  Feeds the SQL-reduced build: a JVM-side
+        ``groupBy(value).count()`` histogram becomes one weighted update
+        of at most |distinct values| points (operators/sql_sketch.py)."""
+        arr = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.int64)
+        keep = ~np.isnan(arr) & (w > 0)
+        arr, w = arr[keep], w[keep]
+        if len(arr) == 0:
+            return self
+        max_bits = int(w.max()).bit_length()
+        while len(self.levels) < max_bits:
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for j in range(max_bits):
+            mask = (w >> j) & 1 == 1
+            if mask.any():
+                self.levels[j] = np.concatenate([self.levels[j], arr[mask]])
+        self.n += int(w.sum())
+        self._compress()
+        return self
+
     # -- merge --------------------------------------------------------------
     @staticmethod
     def merge(a: "KLL", b: "KLL") -> "KLL":

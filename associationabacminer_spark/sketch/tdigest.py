@@ -49,7 +49,9 @@ class TDigest:
         )
         self._buf_v.append(arr)
         self._buf_w.append(w)
-        self.n += len(arr)
+        # n counts total WEIGHT (== rows for the unit-weight stream case):
+        # weighted points stand in for that many original rows
+        self.n += int(w.sum()) if w.sum() == int(w.sum()) else w.sum()
         if sum(len(b) for b in self._buf_v) >= _BUFFER_CAP:
             self._compress()
         return self

@@ -51,7 +51,7 @@ def make_pkg_zip() -> str:
     return zip_base + ".zip"
 
 
-def run_level(cores: int, data: str, pkg_zip: str, groups: int) -> dict:
+def run_level(cores: int, data: str, pkg_zip: str, groups: int, mode: str = "sql") -> dict:
     out = tempfile.mktemp(suffix=".json")
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     cmd = [
@@ -86,7 +86,7 @@ def run_level(cores: int, data: str, pkg_zip: str, groups: int) -> dict:
         pkg_zip,
         os.path.join(REPO, "bench", "sketch_job.py"),
         "--mode",
-        "hybrid",
+        mode,
         "--data",
         data,
         "--groups",
@@ -105,6 +105,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=4, help="low core count N; high is 4N")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--data", default=os.path.join(REPO, ".synth", "scaling_12M"))
+    ap.add_argument("--mode", choices=["arrow", "hybrid", "sql"], default="sql")
     args = ap.parse_args()
 
     ensure_data(args.data, args.convs)
@@ -122,8 +123,8 @@ def main() -> None:
     # interference-free measurement
     runs_lo, runs_hi = [], []
     for _ in range(args.repeats):
-        runs_lo.append(run_level(lo, args.data, pkg_zip, groups=hi * 2))
-        runs_hi.append(run_level(hi, args.data, pkg_zip, groups=hi * 2))
+        runs_lo.append(run_level(lo, args.data, pkg_zip, groups=hi * 2, mode=args.mode))
+        runs_hi.append(run_level(hi, args.data, pkg_zip, groups=hi * 2, mode=args.mode))
     r_lo = min(runs_lo, key=lambda r: r["seconds"])
     r_hi = min(runs_hi, key=lambda r: r["seconds"])
     print(json.dumps({"all_lo": [r["seconds"] for r in runs_lo],
@@ -143,6 +144,7 @@ def main() -> None:
         "scaling_efficiency": round(efficiency, 3),
         "target": 0.8,
         "pass": efficiency >= 0.8,
+        "mode": args.mode,
     }
     print(json.dumps(result))
 
@@ -152,7 +154,7 @@ def main() -> None:
         f.write(
             f"\n| {r_lo['rows']} | local[{lo}] | {r_lo['seconds']} | {r_lo['turns_per_sec']} | "
             f"local[{hi}] | {r_hi['seconds']} | {r_hi['turns_per_sec']} | {round(speedup,3)} | "
-            f"{round(efficiency,3)} | {'PASS' if result['pass'] else 'FAIL'} |"
+            f"{round(efficiency,3)} | {'PASS' if result['pass'] else 'FAIL'} ({args.mode}) |"
         )
 
 

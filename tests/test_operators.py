@@ -678,3 +678,41 @@ class TestBandedNearDup:
         }
         assert len(exact) > 50  # clusters really produce near-dups
         assert banded == exact
+
+
+class TestPearsonCorrelation:
+    def test_matches_numpy_corrcoef(self, spark):
+        from associationabacminer_spark.operators.stats import pearson_correlation
+
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal(300)
+        y = 0.7 * x + 0.3 * rng.standard_normal(300)
+        z = rng.standard_normal(300)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+            "x double, y double, z double",
+        )
+        got = np.array(pearson_correlation(df, ["x", "y", "z"]))
+        want = np.corrcoef(np.stack([x, y, z]))
+        assert np.allclose(got, want, atol=1e-9)
+
+
+class TestGapsAgg:
+    def test_agg_gaps_match_window_gaps(self, spark):
+        from associationabacminer_spark.operators.windows import (
+            inter_event_gaps_agg,
+            inter_event_latency,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        win = sorted(
+            r["latency_s"]
+            for r in inter_event_latency(ev, "user_id", "event_id", "ts").collect()
+            if r["latency_s"] is not None
+        )
+        agg = sorted(
+            r["latency_s"]
+            for r in inter_event_gaps_agg(ev, "user_id", "event_id", "ts").collect()
+        )
+        assert len(win) == len(agg)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(win, agg))

@@ -322,3 +322,39 @@ class TestXXHashAndPrehash:
                 merged, HyperLogLog(p=14).update_batch(p_, prehashed=True)
             )
         assert merged.estimate() == single.estimate()
+
+
+class TestWeightedKLL:
+    def test_weighted_equals_repeated_within_bound(self):
+        from associationabacminer_spark.sketch import KLL
+
+        rng = np.random.default_rng(5)
+        vals = np.round(rng.lognormal(3, 1, 2000), 0)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        kw = KLL(k=200).update_weighted(uniq, cnt)
+        assert kw.n == len(vals)
+        exact = np.sort(vals)
+        for q in (0.05, 0.5, 0.95):
+            est = kw.quantile(q)
+            true_rank = np.searchsorted(exact, est, side="right") / len(exact)
+            assert abs(true_rank - q) <= kw.rank_error + 1e-9
+
+    def test_weight_one_degenerates_to_plain_update(self):
+        from associationabacminer_spark.sketch import KLL
+
+        vals = np.arange(100, dtype=np.float64)
+        kw = KLL(k=200).update_weighted(vals, np.ones(100, dtype=np.int64))
+        kp = KLL(k=200).update_batch(vals)
+        assert kw.n == kp.n == 100
+        assert np.allclose(kw.quantile([0.1, 0.5, 0.9]), kp.quantile([0.1, 0.5, 0.9]))
+
+    def test_huge_weights_binary_decomposition(self):
+        from associationabacminer_spark.sketch import KLL
+
+        # two values, wildly unequal weights: median must be the heavy one
+        k = KLL(k=200).update_weighted(
+            np.array([1.0, 1000.0]), np.array([1, 1_000_000])
+        )
+        assert k.n == 1_000_001
+        assert k.quantile(0.5) == 1000.0
+        assert k.rank(1.5) <= 0.01

@@ -310,3 +310,65 @@ class TestSqlSketch:
         assert sql_bloom.contains_pairs(h1, h2).all()  # no false negatives
         ah1, ah2 = xxh64_pair_keys(list(range(10_000_000, 10_050_000)))
         assert sql_bloom.contains_pairs(ah1, ah2).mean() <= 0.02
+
+
+class TestSqlQuantileSketches:
+    def test_kll_sql_rank_error_within_bound(self, spark):
+        """kll_from_sql consumes the exact value multiset (histogram ->
+        binary-weighted insertion), so the published rank bound applies."""
+        from associationabacminer_spark.operators.sql_sketch import kll_from_sql
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        lens = docs.select(F.length("text").cast("double").alias("L"))
+        kll = kll_from_sql(lens, "L", k=200)
+        exact = np.sort(
+            np.array([r["L"] for r in lens.collect()], dtype=np.float64)
+        )
+        assert kll.n == len(exact)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = kll.quantile(q)
+            true_rank = np.searchsorted(exact, est, side="right") / len(exact)
+            assert abs(true_rank - q) <= kll.rank_error + 1e-9, (q, est, true_rank)
+
+    def test_kll_sql_merges_with_arrow_built_kll(self, spark):
+        """SQL-built and stream-built KLLs are the same kind of kernel:
+        merging them must keep the bound on the union."""
+        from associationabacminer_spark.operators.sql_sketch import kll_from_sql
+        from associationabacminer_spark.sketch import KLL
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        lens = np.array(
+            [r[0] for r in docs.select(F.length("text").cast("double")).collect()],
+            dtype=np.float64,
+        )
+        half = len(lens) // 2
+        a = kll_from_sql(
+            spark.createDataFrame([(float(x),) for x in lens[:half]], "L double"),
+            "L",
+        )
+        b = KLL(k=200).update_batch(lens[half:])
+        m = KLL.merge(a, b)
+        exact = np.sort(lens)
+        assert m.n == len(exact)
+        for q in (0.25, 0.5, 0.75):
+            est = m.quantile(q)
+            true_rank = np.searchsorted(exact, est, side="right") / len(exact)
+            assert abs(true_rank - q) <= m.rank_error + 1e-9
+
+    def test_tdigest_sql_rank_error_within_bound(self, spark):
+        """Log-binned t-digest build: rank error within the delta bound
+        plus one bin's mass (documented tolerance)."""
+        from associationabacminer_spark.operators.sql_sketch import tdigest_from_sql
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        vals = ev.select(F.col("value").cast("double").alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+        td = tdigest_from_sql(vals, "v", delta=200)
+        exact = np.sort(np.array([r["v"] for r in vals.collect()], dtype=np.float64))
+        assert int(td.n) == len(exact)
+        for q in (0.1, 0.5, 0.9):
+            est = td.quantile(q)
+            true_rank = np.searchsorted(exact, est, side="right") / len(exact)
+            # delta=200 mid-quantile bound ~ 4/delta = 0.02 (+ bin mass)
+            assert abs(true_rank - q) <= 0.03, (q, est, true_rank)
