@@ -1792,3 +1792,25 @@ def q64(spark, sf_dir):
         bucket_seconds=6 * 3600,
     )
     return joined.select("event_id", "user_id", "view_event_id")
+
+
+@query("q65_ivf_topk")
+def q65(spark, sf_dir):
+    """IVF approximate nearest neighbors (rows-only): coarse k-means
+    quantizer + inverted-list equi-join + exact cosine re-rank.  Returns
+    a self-check row comparing recall against brute force on the query
+    slice (ok = recall >= 0.7 at nprobe=4/16 centroids)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qs = emb.filter(F.col("vec_id") < 8)
+    ivf = similarity.ivf_topk(emb, qs, "vec_id", "embedding", k=3,
+                              n_centroids=10, nprobe=5)
+    bf = similarity.brute_force_topk(emb, qs, "vec_id", "embedding", k=3)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    recall = len(got & want) / max(1, len(want))
+    return spark.createDataFrame(
+        [("ivf_recall_at_3", float(round(recall, 4)), 0.7, bool(recall >= 0.7))],
+        "metric string, value double, threshold double, ok boolean",
+    )

@@ -70,3 +70,74 @@ def streaming_sketch_build(
                 state[name] = kernel
 
     return fold
+
+
+def streaming_conversation_state(
+    stream: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+):
+    """Custom stateful per-conversation tracker via
+    ``applyInPandasWithState`` — the arbitrary-state API the engine uses
+    where watermarked windows can't express the semantics (running
+    per-KEY aggregates that must survive across micro-batches).
+
+    State per conversation: (turns, last_ts_epoch_s, max_gap_s).  Each
+    micro-batch folds its rows in event-time order, chaining the gap
+    computation across batches through the state — the streaming twin of
+    the batch inter-turn-latency window (operators/windows.py W2).
+    Emits one update row per touched conversation per batch
+    (outputMode='update').
+
+    Contract: arrival order must respect event time ACROSS micro-batches
+    per key (in-batch disorder is sorted away).  That holds for
+    append-only time-ordered sources (Kafka per-partition order, file
+    drops by time range); for sources that violate it, use the
+    watermarked window path instead — arbitrary-state late-data repair
+    would need a per-key reorder buffer, which this operator
+    deliberately does not grow."""
+    import pandas as pd
+
+    out_schema = (
+        f"{conv_col} string, turns long, last_ts double, max_gap double"
+    )
+    state_schema = "turns long, last_ts double, max_gap double"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            turns, last_ts, max_gap = state.get
+        else:
+            turns, last_ts, max_gap = 0, None, 0.0
+        for pdf in pdfs:
+            ts = (
+                pd.to_datetime(pdf[ts_col])
+                .astype("int64")
+                .to_numpy()
+                .astype("float64")
+                / 1e9
+            )
+            ts.sort()
+            for t in ts:
+                if last_ts is not None:
+                    gap = t - last_ts
+                    if gap > max_gap:
+                        max_gap = float(gap)
+                last_ts = float(t)
+                turns += 1
+        state.update((turns, last_ts, max_gap))
+        yield pd.DataFrame(
+            {
+                conv_col: [key[0]],
+                "turns": [turns],
+                "last_ts": [last_ts],
+                "max_gap": [max_gap],
+            }
+        )
+
+    return stream.groupBy(conv_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -716,3 +716,115 @@ class TestGapsAgg:
         )
         assert len(win) == len(agg)
         assert all(abs(a - b) < 1e-9 for a, b in zip(win, agg))
+
+
+class TestIvfTopk:
+    def test_recall_vs_brute_force_on_clusters(self, spark):
+        from associationabacminer_spark.operators import similarity
+
+        rng = np.random.default_rng(21)
+        base = rng.standard_normal((10, 24))
+        rows = [
+            (i, [float(x) for x in base[i % 10] + 0.05 * rng.standard_normal(24)])
+            for i in range(120)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qs = emb.filter(F.col("vec_id") < 10)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.brute_force_topk(emb, qs, k=3).collect()
+        }
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, qs, k=3, n_centroids=10, nprobe=3
+            ).collect()
+        }
+        recall = len(bf & ivf) / len(bf)
+        assert recall >= 0.9, recall
+
+    def test_probe_dial_trades_recall(self, spark):
+        """nprobe = n_centroids degenerates to (almost) exact search."""
+        from associationabacminer_spark.operators import similarity
+
+        rng = np.random.default_rng(22)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qs = emb.filter(F.col("vec_id") < 5)
+        bf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.brute_force_topk(emb, qs, k=3).collect()
+        }
+        full = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, qs, k=3, n_centroids=8, nprobe=8
+            ).collect()
+        }
+        assert full == bf
+
+
+class TestStatefulStreaming:
+    def test_conversation_state_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState per-conv tracker: after draining the
+        stream, turns and max inter-turn gap must equal the batch
+        groupBy/window answers."""
+        from pyspark.sql import Window as W
+
+        from associationabacminer_spark.streaming.stream_agg import (
+            streaming_conversation_state,
+        )
+
+        ev = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select(
+                F.col("user_id").cast("string").alias("conv_id"),
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+            .filter(F.col("conv_id").cast("long") < 30)
+        )
+        src = str(tmp_path / "conv-src")
+        # two RANGE-partitioned files (early ts, late ts) -> at least one
+        # micro-batch boundary exercises cross-batch state, while arrival
+        # order respects event time (the operator's documented contract)
+        ev.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            streaming_conversation_state(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("convstate")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # memory sink in update mode appends every update row; keep the
+        # last row per conv (max turns)
+        got = {
+            r["conv_id"]: r
+            for r in spark.sql(
+                "SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+                "(PARTITION BY conv_id ORDER BY turns DESC) AS rn "
+                "FROM convstate) WHERE rn = 1"
+            ).collect()
+        }
+        w = W.partitionBy("conv_id").orderBy("ts")
+        batch = {
+            r["conv_id"]: r
+            for r in ev.withColumn(
+                "gap",
+                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+            )
+            .groupBy("conv_id")
+            .agg(F.count("*").alias("turns"), F.max("gap").alias("max_gap"))
+            .collect()
+        }
+        assert set(got) == set(batch)
+        for cid, b in batch.items():
+            assert got[cid]["turns"] == b["turns"], cid
+            if b["max_gap"] is not None:
+                assert abs(got[cid]["max_gap"] - b["max_gap"]) < 1e-6, cid
