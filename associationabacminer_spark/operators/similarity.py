@@ -16,6 +16,7 @@ on the bucket key.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -274,36 +275,45 @@ def embedding_near_dup_pairs_banded(
     raise ``bands``/lower ``planes_per_band`` (the usual S-curve trade)."""
     dims = len(df.select(vec_col).first()[0])
     hp = hyperplanes(dims, bands * planes_per_band, seed)
-    band_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                bucket_expr(
-                    vec_col, hp[b * planes_per_band : (b + 1) * planes_per_band]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
+    # ALL band buckets in one Arrow-vectorized matmul: 128 hyperplane
+    # dots as Catalyst higher-order functions are INTERPRETED per element
+    # (no codegen for lambda expressions) — measured 4.5 s for just 2000
+    # rows; the numpy path is one (n x d) @ (d x 128) product per batch.
+    # This is the documented "built-ins genuinely can't express it
+    # efficiently" exception; bucket_expr stays for small plane counts.
+    from pyspark.sql.functions import pandas_udf
+
+    hp_t = hp.T.copy()
+    weights = (1 << np.arange(planes_per_band - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def band_bucket_ids(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        bits = (x @ hp_t >= 0).reshape(len(x), bands, planes_per_band)
+        ids = bits.astype(np.int64) @ weights
+        return pd.Series(list(ids))
+
+    # candidates carry IDS ONLY through the band join + dedup — clustered
+    # data puts whole clusters in one bucket, so candidate volume is the
+    # cost center and every extra byte per pair multiplies the shuffle
     keyed = df.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.explode(band_buckets).alias("bb"),
-    ).select("vid", "vec", "bb.band", "bb.bucket")
-    a = keyed.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("va"), "band", "bucket"
+        F.posexplode(band_bucket_ids(F.col(vec_col))).alias("band", "bucket"),
     )
-    b = keyed.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "band", "bucket"
-    )
+    a = keyed.select(F.col("vid").alias("id_a"), "band", "bucket")
+    b = keyed.select(F.col("vid").alias("id_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

@@ -39,6 +39,11 @@ HEADLINE = [
     "q43_minhash_lsh_pairs",
     "q47_crosstab",
     "q51_asof_join",
+    # round 2: banded near-dup, UA binning, 13-metric suite, salted as-of
+    "q36_embedding_neardup",
+    "q57_agent_bin",
+    "q61_metric_suite",
+    "q64_asof_join_salted",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

@@ -784,10 +784,21 @@ class TestStatefulStreaming:
             .filter(F.col("conv_id").cast("long") < 30)
         )
         src = str(tmp_path / "conv-src")
-        # two RANGE-partitioned files (early ts, late ts) -> at least one
-        # micro-batch boundary exercises cross-batch state, while arrival
+        # two time-ranged files written SEQUENTIALLY (distinct mtimes) so
+        # the file source delivers them oldest-first: at least one
+        # micro-batch boundary exercises cross-batch state while arrival
         # order respects event time (the operator's documented contract)
-        ev.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src)
+        import time as _time
+
+        ev2 = ev.withColumn("ts_d", F.col("ts").cast("double"))
+        median = ev2.approxQuantile("ts_d", [0.5], 0.0)[0]
+        ev2.filter(F.col("ts_d") <= median).drop("ts_d").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _time.sleep(1.2)
+        ev2.filter(F.col("ts_d") > median).drop("ts_d").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
         stream = spark.readStream.schema(ev.schema).option(
             "maxFilesPerTrigger", "1"
         ).parquet(src)
