@@ -59,34 +59,57 @@ def fingerprint_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
+    """n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
 
-    O(n^2) in candidate pairs sharing a shingle — the small-scale oracle
-    for MinHash-LSH. The shingle equi-join keeps it far below a full
-    cross join."""
+    Candidates come from the shingle equi-join (far below a cross join);
+    the jaccard itself is then computed EXACTLY from the full shingle
+    arrays, so candidate pruning can never corrupt a reported value.
+
+    ``max_shingle_df`` caps candidate generation: shingles appearing in
+    more than that many documents are dropped from the join keys (a
+    stop-shingle shared by 10^6 docs otherwise emits 10^12 candidate
+    pairs — the 100-TB killer).  A pair is missed only if ALL its shared
+    shingles are above the cap; at jaccard >= t a pair shares >=
+    t/(1+t) * max(|A|,|B|) distinct shingles, so a cap above the hot
+    tail leaves real near-dups multiple surviving join keys.  None (the
+    default, for the oracle path) disables the cap."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
-    a = exploded.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "sh"
     )
-    b = exploded.select(
-        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "sh"
-    )
-    common = (
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        exploded = exploded.join(F.broadcast(hot), "sh", "left_anti")
+    a = exploded.select(F.col("doc_id").alias("id_a"), "sh")
+    b = exploded.select(F.col("doc_id").alias("id_b"), "sh")
+    cands = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("common"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        common.withColumn(
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
             "jaccard",
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

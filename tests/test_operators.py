@@ -839,3 +839,36 @@ class TestStatefulStreaming:
             assert got[cid]["turns"] == b["turns"], cid
             if b["max_gap"] is not None:
                 assert abs(got[cid]["max_gap"] - b["max_gap"]) < 1e-6, cid
+
+
+class TestShingleDfCap:
+    def test_cap_prunes_stop_shingle_but_keeps_near_dups(self, spark):
+        """A stop-shingle shared by every doc must not force all-pairs
+        candidates; near-dups sharing rare shingles survive the cap."""
+        from associationabacminer_spark.operators.dedup import ngram_jaccard_pairs
+
+        rows = [
+            (i, f"common stop phrase here plus unique{i} words{i} tail{i}")
+            for i in range(30)
+        ]
+        # docs 40/41 are near-dups sharing rare shingles
+        rows += [
+            (40, "a very distinctive rare sentence about spark engines okay"),
+            (41, "a very distinctive rare sentence about spark engines fine"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=5
+            ).collect()
+        }
+        assert (40, 41) in uncapped and (40, 41) in capped
+        # the 30 stop-phrase docs share ONLY sub-threshold shingles; both
+        # forms exclude them from results, and the capped form also
+        # excludes them from the candidate join
+        assert capped == uncapped

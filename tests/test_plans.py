@@ -51,6 +51,13 @@ class TestPlanShapes:
             "q31_fingerprint_dedup",
             "q33_token_stats",
             "q34_lang_guess",
+            "q57_agent_bin",
+            "q58_invoked_by_collapse",
+            "q59_dedup_by_beta",
+            "q60_multi_resource_types",
+            "q62_ip_normalize",
+            "q63_negation_predicate",
+            "q64_asof_join_salted",
         ):
             plan = plan_of(Q.QUERIES[name](spark, SF))
             # (WholeStageCodegen spans only appear in the post-execution
