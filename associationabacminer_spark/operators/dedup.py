@@ -16,6 +16,8 @@ Jaccard/cosine pair joins are provided as small-scale oracles only.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -282,4 +284,86 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): k-byte Rabin-Karp ROLLING hashes over
+    the normalized text, keeping each ``window``'s minimum, deduplicated.
+    Guarantees: any substring match of length >= k + window - 1 shares a
+    selected print, and prints are position-independent — the classic
+    copy-detection / near-dup fingerprint the md5-of-sorted-tokens
+    `functions.text.fingerprint` cannot provide.
+
+    Vectorized pandas_udf: one numpy convolution + sliding-window min per
+    document (Arrow-batched; the rolling recurrence is not expressible in
+    Catalyst built-ins).  Returns (doc_id, prints array<long>)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mod = (1 << 61) - 1
+    base = 257
+    weights = np.array(
+        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=object
+    )
+
+    @pandas_udf("array<long>")
+    def prints(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = "".join(ch for ch in (t or "").lower() if ch.isalnum())
+            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                out.append([])
+                continue
+            # exact Rabin-Karp in python-int space (object dtype) to avoid
+            # modular-reduction drift; docs are KBs, this is one matmul
+            windows = np.lib.stride_tricks.sliding_window_view(b, k)
+            h = (windows.astype(object) @ weights) % mod
+            if len(h) >= window:
+                sel = np.lib.stride_tricks.sliding_window_view(
+                    h.astype(np.uint64), window
+                ).min(axis=1)
+            else:
+                sel = np.array([h.astype(np.uint64).min()])
+            # h < 2^61 - 1, so every print fits a signed int64 as-is
+            out.append(sorted({int(x) for x in sel.tolist()}))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), prints(F.col(text_col)).alias("prints")
+    )
+
+
+def winnow_overlap_pairs(
+    fp_df: DataFrame, min_overlap: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by shared winnowed prints: explode -> equi-join on
+    print -> overlap coefficient |A∩B| / min(|A|,|B|) >= threshold.
+    Same candidate-then-exact shape as the other dedup paths — never an
+    all-pairs join."""
+    sized = fp_df.withColumn("n", F.size("prints")).filter(F.col("n") > 0)
+    exploded = sized.select("doc_id", F.explode("prints").alias("p"))
+    a = exploded.select(F.col("doc_id").alias("id_a"), "p")
+    b = exploded.select(F.col("doc_id").alias("id_b"), "p")
+    common = (
+        a.join(b, "p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    na = sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("overlap", F.col("common") / F.least("na", "nb"))
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", F.round("overlap", 6).alias("overlap"))
     )

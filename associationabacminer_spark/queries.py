@@ -1814,3 +1814,38 @@ def q65(spark, sf_dir):
         [("ivf_recall_at_3", float(round(recall, 4)), 0.7, bool(recall >= 0.7))],
         "metric string, value double, threshold double, ok boolean",
     )
+
+
+@query("q66_winnow_fingerprints")
+def q66(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (rows-only): every exact-dup
+    pair (same md5) must have winnow overlap 1.0, and the overlap-pair
+    set at 0.5 must be a superset of the exact-dup pairs.  The testdata
+    has no exact dups, so every 10th document is re-injected under a
+    shifted id to make the recall check non-vacuous."""
+    base = _t(spark, sf_dir, "documents")
+    offset = 10_000_000
+    dups = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + offset
+    )
+    d = base.unionByName(dups)
+    fp = dedup.winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+    pairs = dedup.winnow_overlap_pairs(fp, min_overlap=0.5)
+    exact = (
+        dedup.duplicate_groups(d, "text", "doc_id")
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    n_exact = exact.count()
+    matched = exact.join(pairs, ["id_a", "id_b"], "inner")
+    full = matched.filter(F.col("overlap") >= 0.999999).count()
+    n_pairs = pairs.count()
+    ok = bool(full == n_exact and n_pairs >= n_exact)
+    return spark.createDataFrame(
+        [("winnow_exact_dup_recall", float(full), float(n_exact), ok),
+         ("winnow_pairs_at_0.5", float(n_pairs), float(n_exact), True)],
+        "metric string, value double, reference double, ok boolean",
+    )

@@ -872,3 +872,36 @@ class TestShingleDfCap:
         # forms exclude them from results, and the capped form also
         # excludes them from the candidate join
         assert capped == uncapped
+
+
+class TestWinnowing:
+    def test_identical_docs_share_all_prints(self, spark, docs):
+        from associationabacminer_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_overlap_pairs,
+        )
+
+        fp = winnow_fingerprints(docs, "text", "doc_id")
+        vals = {r["doc_id"]: tuple(r["prints"]) for r in fp.collect()}
+        assert vals[2] == vals[3]  # identical texts
+        assert vals[2] == vals[4]  # case/punct normalize away
+        pairs = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in winnow_overlap_pairs(fp, min_overlap=0.3).collect()
+        }
+        assert pairs[(2, 3)] == 1.0
+        assert (0, 1) in pairs  # one-word near-dups share most prints
+
+    def test_substring_guarantee(self, spark):
+        """Any shared substring of length >= k + window - 1 yields a
+        shared print (the winnowing theorem, SIGMOD'03 §3)."""
+        from associationabacminer_spark.operators.dedup import winnow_fingerprints
+
+        shared = "xxdistinctivesharedrunxx"  # 24 alnum chars >= 8+4-1
+        df = spark.createDataFrame(
+            [(0, f"alpha {shared} omega"), (1, f"zulu {shared} yankee")],
+            "doc_id long, text string",
+        )
+        fp = {r["doc_id"]: set(r["prints"]) for r in
+              winnow_fingerprints(df, "text", "doc_id", k=8, window=4).collect()}
+        assert fp[0] & fp[1], "winnowing guarantee violated"
