@@ -44,7 +44,6 @@ def main() -> None:
     from associationabacminer_spark.sketch import BloomFilter
     from associationabacminer_spark.suite import (
         prepare_transcripts,
-        transcript_gaps,
         transcript_specs,
     )
 
