@@ -50,15 +50,36 @@ def run_with_lineage(
     group_expr=None,
     order_by=None,
     fanout: int = 16,
+    metrics_out: dict | None = None,
 ) -> dict[str, object]:
     """Build (or resume) the sketch set, checkpointing per-group lineage.
 
     Returns {sketch_name: merged kernel}.  Idempotent: a completed ledger
     short-circuits straight to the merge.
-    """
+
+    ``metrics_out``: pass a dict to receive run metrics collected as a
+    side effect of the build write via ``df.observe`` (rows_processed =
+    input rows folded this run, lineage_rows, wall_time_s total) — the
+    Spark-native analog of the reference's AtomicCounter progress metric
+    (/root/reference/src/util/AtomicCounter.py:32-48), with zero extra
+    jobs."""
+    from associationabacminer_spark.plans.metrics import observed
+
     spark = df.sparkSession
     build_path = os.path.join(ledger_path, "build")
     existing = read_ledger(spark, ledger_path)
+
+    def _write(lineage, mode):
+        lineage, obs = observed(
+            lineage,
+            name=f"lineage-{run_id}-{mode}",
+            lineage_rows=F.count(F.lit(1)),
+            rows_processed=F.sum("row_count"),
+            wall_time_s=F.sum("wall_time_s"),
+        )
+        lineage.write.mode(mode).parquet(build_path)
+        if metrics_out is not None:
+            metrics_out.update(obs.get)
 
     if existing is None:
         lineage = build_sketches(
@@ -69,7 +90,7 @@ def run_with_lineage(
             order_by=order_by,
             method="group",  # stable content-hash group ids for the ledger
         ).withColumn("run_id", F.lit(run_id))
-        lineage.write.mode("overwrite").parquet(build_path)
+        _write(lineage, "overwrite")
     else:
         present = {
             r["group_id"]
@@ -86,7 +107,7 @@ def run_with_lineage(
                 order_by=order_by,
                 method="group",
             ).withColumn("run_id", F.lit(run_id))
-            delta.write.mode("append").parquet(build_path)
+            _write(delta, "append")
 
     all_build = spark.read.parquet(build_path).drop("run_id")
     return tree_merge(all_build, specs, fanout=fanout, n_states=num_groups)

@@ -372,3 +372,29 @@ class TestSqlQuantileSketches:
             true_rank = np.searchsorted(exact, est, side="right") / len(exact)
             # delta=200 mid-quantile bound ~ 4/delta = 0.02 (+ bin mass)
             assert abs(true_rank - q) <= 0.03, (q, est, true_rank)
+
+
+class TestLineageMetrics:
+    def test_observe_metrics_from_build_and_resume(self, spark, tmp_path):
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.plans.lineage import run_with_lineage
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        specs = [
+            SketchSpec(
+                "hll_user", HyperLogLog, "user_id", kernel_cls=HyperLogLog, prehash=True
+            )
+        ]
+        n = ev.count()
+        m: dict = {}
+        run_with_lineage(ev, specs, str(tmp_path / "ledger"), num_groups=4,
+                         metrics_out=m)
+        assert m["rows_processed"] == n
+        assert m["lineage_rows"] == 4  # groups x 1 sketch
+        assert m["wall_time_s"] > 0
+        # idempotent re-run: ledger complete -> no build -> no new metrics
+        m2: dict = {}
+        run_with_lineage(ev, specs, str(tmp_path / "ledger"), num_groups=4,
+                         metrics_out=m2)
+        assert m2 == {}
