@@ -208,3 +208,76 @@ def rollup_windows(
         .groupBy("__w__", "sketch_name")
         .applyInPandas(merge, schema=WINDOW_LINEAGE_SCHEMA)
     )
+
+
+def run_windowed_with_lineage(
+    df: DataFrame,
+    specs,
+    ledger_path: str,
+    ts_col: str = "ts",
+    width: str = "1 day",
+    salts: int = 8,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """Resumable TUMBLING-window sketch build: (window, salt) partials
+    checkpoint to a parquet ledger; a resumed run anti-joins the input
+    against the ledger's present (window_start, salt) keys and rebuilds
+    ONLY the missing partials — the windowed twin of
+    plans/lineage.run_with_lineage (X6/X7).
+
+    Tumbling only (width == slide): each row belongs to exactly one
+    window, so input pruning by anti-join is sound.  For sliding windows
+    build tumbling partials at the slide granularity and compose windows
+    with ``rollup_windows`` — same capability, resumable.
+
+    Returns the merged one-row-per-(window, sketch) DataFrame."""
+    import os
+
+    from associationabacminer_spark.plans.metrics import observed
+
+    spark = df.sparkSession
+    build_path = os.path.join(ledger_path, "windowed_build")
+    try:
+        existing = spark.read.parquet(build_path)
+    except Exception:
+        existing = None
+
+    todo = df
+    if existing is not None:
+        present = existing.select("window_start", "salt").distinct()
+        keyed = df.withColumn(
+            "__ws__", F.window(ts_col, width)["start"]
+        ).withColumn(
+            "__salt__",
+            F.pmod(
+                F.xxhash64(*[F.col(s.column) for s in specs], F.lit(0x5A17)),
+                F.lit(salts),
+            ).cast("int"),
+        )
+        todo = (
+            keyed.join(
+                F.broadcast(present),
+                (keyed["__ws__"] == present["window_start"])
+                & (keyed["__salt__"] == present["salt"]),
+                "left_anti",
+            )
+            .drop("__ws__", "__salt__")
+        )
+
+    if todo.limit(1).count() > 0:
+        partials = windowed_sketch_partials(todo, specs, ts_col, width, width, salts)
+        partials, obs = observed(
+            partials,
+            name="windowed-lineage",
+            lineage_rows=F.count(F.lit(1)),
+            rows_processed=F.sum("row_count"),
+        )
+        partials.write.mode("append" if existing is not None else "overwrite").parquet(
+            build_path
+        )
+        if metrics_out is not None:
+            metrics_out.update(obs.get)
+    elif metrics_out is not None:
+        metrics_out.update({"lineage_rows": 0, "rows_processed": 0})
+
+    return _merge_window_partials(spark.read.parquet(build_path), specs)

@@ -398,3 +398,53 @@ class TestLineageMetrics:
         run_with_lineage(ev, specs, str(tmp_path / "ledger"), num_groups=4,
                          metrics_out=m2)
         assert m2 == {}
+
+
+class TestWindowedResume:
+    def test_resume_rebuilds_only_missing_windows(self, spark, tmp_path):
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import (
+            run_windowed_with_lineage,
+        )
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        specs = [
+            SketchSpec(
+                "hll_user", HyperLogLog, "user_id", kernel_cls=HyperLogLog, prehash=True
+            )
+        ]
+        ledger = str(tmp_path / "wledger")
+        cutoff = ev.agg(F.max("ts")).collect()[0][0]
+        early = ev.filter(F.col("ts") < F.lit(cutoff) - F.expr("INTERVAL 3 DAYS"))
+        # crash simulation: partial run covered only the early windows
+        m1: dict = {}
+        run_windowed_with_lineage(early, specs, ledger, "ts", "1 day", metrics_out=m1)
+        assert m1["rows_processed"] == early.count()
+        # resume with the full input: only the tail windows rebuild
+        m2: dict = {}
+        merged = run_windowed_with_lineage(ev, specs, ledger, "ts", "1 day",
+                                           metrics_out=m2).collect()
+        assert 0 < m2["rows_processed"] < ev.count()
+        # estimates match a fresh, uninterrupted build window-for-window
+        fresh = {
+            (r["window_start"], r["sketch_name"]): HyperLogLog.deserialize(
+                bytes(r["sketch"])
+            ).estimate()
+            for r in run_windowed_with_lineage(
+                ev, specs, str(tmp_path / "wledger2"), "ts", "1 day"
+            ).collect()
+        }
+        got = {
+            (r["window_start"], r["sketch_name"]): HyperLogLog.deserialize(
+                bytes(r["sketch"])
+            ).estimate()
+            for r in merged
+        }
+        assert got == fresh
+        # idempotent third run: nothing to rebuild
+        m3: dict = {}
+        run_windowed_with_lineage(ev, specs, ledger, "ts", "1 day", metrics_out=m3)
+        assert m3["rows_processed"] == 0
