@@ -169,24 +169,25 @@ def train_ivf_centroids(
     return centers
 
 
-def _centroid_ranking(vec_col: str, centers: np.ndarray) -> Column:
-    """Array of centroid ids sorted by descending cosine to the vector —
-    pure Catalyst (array_sort over (negative normalized dot, cid)
-    structs); index [0] is the assignment, a slice is the probe list."""
-    n = norm(F.col(vec_col))
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])) / n)
-                    .alias("negcos"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centers)
-            ]
-        )
-    )
-    return ranked
+def _nearest_centroids_udf(centers: np.ndarray, m: int):
+    """pandas_udf returning the ``m`` nearest centroid ids (descending
+    cosine; ties broken by lower id via stable argsort) — one numpy
+    matmul per Arrow batch.  Centroids are normalized, so argmax of the
+    raw dot equals argmax of cosine.  Per-centroid Catalyst lambdas are
+    interpreted per element (the q36 lesson) — at 10^9 corpus rows the
+    vectorized path is the only sane assignment stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    ct = centers.T.copy()
+
+    @pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        sims = x @ ct
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :m].astype("int32")
+        return pd.Series(list(order))
+
+    return nearest
 
 
 def ivf_topk(
@@ -206,20 +207,17 @@ def ivf_topk(
     nprobe/n_centroids of the corpus, the classic recall/cost dial.
     Recall vs brute force is asserted in tests."""
     centers = train_ivf_centroids(corpus, vec_col, n_centroids, seed)
+    assign1 = _nearest_centroids_udf(centers, 1)
+    probe_n = _nearest_centroids_udf(centers, nprobe)
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _centroid_ranking(vec_col, centers)[0]["cid"].alias("cid"),
+        assign1(F.col(vec_col))[0].alias("cid"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(
-            F.transform(
-                F.slice(_centroid_ranking(vec_col, centers), 1, nprobe),
-                lambda s: s["cid"],
-            )
-        ).alias("cid"),
+        F.explode(probe_n(F.col(vec_col))).alias("cid"),
     )
     scored = (
         cb.join(qb, "cid")
