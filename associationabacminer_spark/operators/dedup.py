@@ -307,11 +307,13 @@ def winnow_fingerprints(
     Catalyst built-ins).  Returns (doc_id, prints array<long>)."""
     from pyspark.sql.functions import pandas_udf
 
-    mod = (1 << 61) - 1
+    mod = (1 << 31) - 1  # Mersenne-31: byte*weight sums fit uint64 exactly
     base = 257
     weights = np.array(
-        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=object
+        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=np.uint64
     )
+    if k * 255 * (mod - 1) >= (1 << 64):  # overflow guard for custom k
+        raise ValueError("k too large for the uint64 rolling-hash path")
 
     @pandas_udf("array<long>")
     def prints(texts: pd.Series) -> pd.Series:
@@ -322,17 +324,15 @@ def winnow_fingerprints(
             if len(b) < k:
                 out.append([])
                 continue
-            # exact Rabin-Karp in python-int space (object dtype) to avoid
-            # modular-reduction drift; docs are KBs, this is one matmul
+            # exact Rabin-Karp in uint64: each window sums k terms
+            # <= 255 * (2^31 - 1) < 2^42 -- no overflow, no objects
             windows = np.lib.stride_tricks.sliding_window_view(b, k)
-            h = (windows.astype(object) @ weights) % mod
+            h = (windows.astype(np.uint64) @ weights) % np.uint64(mod)
             if len(h) >= window:
-                sel = np.lib.stride_tricks.sliding_window_view(
-                    h.astype(np.uint64), window
-                ).min(axis=1)
+                sel = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
             else:
-                sel = np.array([h.astype(np.uint64).min()])
-            # h < 2^61 - 1, so every print fits a signed int64 as-is
+                sel = np.array([h.min()])
+            # h < 2^31, so every print fits a signed int64 as-is
             out.append(sorted({int(x) for x in sel.tolist()}))
         return pd.Series(out)
 
