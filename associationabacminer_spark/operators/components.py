@@ -1,0 +1,122 @@
+"""Connected components over a duplicate-candidate edge list — the step
+that turns near-dup PAIRS (MinHash/SimHash/fingerprint joins) into
+canonical duplicate GROUPS so a pipeline can keep one doc per group.
+
+Reference analog: the reference collapses exact duplicates through its
+sha1-keyed 'unique logs' index (/root/reference/src/model/
+EnvLogUniverseGenerator.py:84-104) — an equivalence relation, so a single
+groupBy suffices.  Near-dup relations are NOT transitive, so the general
+form needs a transitive-closure pass; this module provides it as the
+alternating large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014), expressed entirely in
+DataFrame ops.
+
+Scale notes (the reason this is NOT label propagation):
+  * Each round is two hash-partitioned ops — groupBy(node).min(neighbor)
+    then an equi-join back on node.  No collect_list: a component with
+    10^8 members never materializes a neighbor set in one task.
+  * large-star halves the height of tall trees, small-star flattens
+    them; the pair converges in O(log^2 n) rounds (O(log n) observed),
+    vs O(diameter) for min-label propagation — a chain of pairwise
+    near-dups (common in boilerplate text) has huge diameter.
+  * Per-round ``dropDuplicates`` keeps the edge multiset bounded by the
+    input size; ``localCheckpoint`` truncates lineage so the plan does
+    not grow with rounds (same pattern as rulemine's cover loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient every edge (hi, lo), drop self-loops, dedupe."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's minimum.
+
+    Operates on the symmetric view so Γ(u) is complete; emits (v, m) for
+    v ∈ Γ(u), v > u, with m = min(Γ(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """On (hi, lo)-oriented edges: link all of u's smaller neighbors (and
+    u itself) to the minimum of that neighborhood."""
+    oriented = _canonical(edges)
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return relink.union(mins.select("src", F.col("m").alias("dst")))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component id is
+    the minimum node id of the component.  Isolated nodes don't appear —
+    union the full node set downstream if needed (see
+    ``assign_components``).
+
+    Converges when a large-star + small-star round leaves the edge set
+    unchanged; at that point edges form a star forest rooted at minima.
+    """
+    e = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = _canonical(_small_star(_large_star(e))).localCheckpoint()
+        # star forest test: no parent (dst) is itself a child (src)
+        unstable = nxt.join(
+            nxt.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+        )
+        if unstable.isEmpty():
+            e = nxt
+            break
+        e = nxt
+    return e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+
+
+def assign_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Every node gets a component id; nodes untouched by any edge are
+    their own singleton component."""
+    comp = connected_components(edges, src, dst)
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .distinct()
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )

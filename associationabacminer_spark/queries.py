@@ -1849,3 +1849,111 @@ def q66(spark, sf_dir):
          ("winnow_pairs_at_0.5", float(n_pairs), float(n_exact), True)],
         "metric string, value double, reference double, ok boolean",
     )
+
+
+# =========================================================================
+# Duplicate-group closure + distributed feature ranking (CC, E2)
+# =========================================================================
+
+@query(
+    "q67_dup_components",
+    """
+    WITH RECURSIVE
+    raw AS (
+      SELECT min(doc_id) OVER (PARTITION BY lower(substr(text, 1, 16))) AS a,
+             doc_id AS b
+      FROM documents
+      UNION ALL
+      SELECT min(doc_id) OVER (
+               PARTITION BY lower(substr(text, greatest(1, len(text) - 15), 16))
+             ) AS a,
+             doc_id AS b
+      FROM documents
+    ),
+    edges AS (SELECT a, b FROM raw WHERE a <> b),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node
+      WHERE r.comp < s.b
+    )
+    SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q67(spark, sf_dir):
+    """Near-dup closure: candidate edges from two overlapping blocking
+    keys (16-char prefix / suffix) -> alternating large-star/small-star
+    connected components -> one canonical group id per document.  The
+    union of two equivalence relations is not itself transitive, so this
+    genuinely exercises the closure (the oracle is a recursive CTE)."""
+    from associationabacminer_spark.operators.components import assign_components
+
+    d = _t(spark, sf_dir, "documents")
+    pre = F.lower(F.col("text").substr(F.lit(1), F.lit(16)))
+    suf = F.lower(
+        F.col("text").substr(
+            F.greatest(F.lit(1), F.length("text") - F.lit(15)), F.lit(16)
+        )
+    )
+    edges = None
+    for key in (pre, suf):
+        w = Window.partitionBy(key)
+        e = d.select(
+            F.min("doc_id").over(w).alias("src"), F.col("doc_id").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        edges = e if edges is None else edges.union(e)
+    return assign_components(d, edges, "doc_id")
+
+
+@query(
+    "q68_laplacian_score",
+    """
+    WITH vals AS (
+      SELECT label AS lab, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    cls AS (
+      SELECT lab, dim, COUNT(*) AS n, SUM(val) AS s1, SUM(val * val) AS s2
+      FROM vals GROUP BY 1, 2
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(SUM(n * s2 - s1 * s1)
+                 / (SUM((n - 1) * s2)
+                    - SUM((n - 1) * s1) * SUM((n - 1) * s1) / SUM((n - 1) * n)),
+                 6) AS lap_score
+    FROM cls GROUP BY dim
+    """,
+)
+def q68(spark, sf_dir):
+    """Laplacian score per embedding dimension (E2 lap_score,
+    FeatureSelector.py:128-237) with the supervised same-label affinity:
+    the pair sum collapses per class to n*sum(f^2) - sum(f)^2, so the
+    whole ranking is two aggregation passes — no pair join at any scale."""
+    from associationabacminer_spark.operators.featsel import laplacian_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return laplacian_score(emb, "vec_id", "embedding", label_col="label").select(
+        F.col("dim").cast("bigint").alias("dim"), "lap_score"
+    )
+
+
+@query(
+    "q69_variance_ranking",
+    """
+    SELECT CAST(i - 1 AS BIGINT) AS dim,
+           ROUND(var_pop(CAST(embedding[i] AS DOUBLE)), 6) AS variance
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY 1
+    """,
+)
+def q69(spark, sf_dir):
+    """Per-dimension variance ranking (E2 low_variance,
+    FeatureSelector.py:128-237) — posexplode + one groupBy."""
+    from associationabacminer_spark.operators.featsel import variance_ranking
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return variance_ranking(emb, "vec_id", "embedding").select(
+        F.col("dim").cast("bigint").alias("dim"), "variance"
+    )

@@ -905,3 +905,160 @@ class TestWinnowing:
         fp = {r["doc_id"]: set(r["prints"]) for r in
               winnow_fingerprints(df, "text", "doc_id", k=8, window=4).collect()}
         assert fp[0] & fp[1], "winnowing guarantee violated"
+
+
+class TestConnectedComponents:
+    """Alternating large-star/small-star closure vs a union-find truth."""
+
+    def _truth(self, edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for n in list(parent):
+            comps.setdefault(find(n), set()).add(n)
+        label = {}
+        for members in comps.values():
+            m = min(members)
+            for n in members:
+                label[n] = m
+        return label
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        import random
+
+        from associationabacminer_spark.operators.components import (
+            connected_components,
+        )
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        truth = self._truth(edges)
+        for node, comp in got.items():
+            assert truth[node] == comp
+        # every non-root member of a >1 component must be present
+        for node, comp in truth.items():
+            if node != comp:
+                assert got[node] == comp
+
+    def test_long_chain_converges(self, spark):
+        """A 200-node path graph has diameter 199 — label propagation
+        would need ~200 rounds; star-contraction must finish well inside
+        max_rounds=25 and still produce one component."""
+        from associationabacminer_spark.operators.components import (
+            connected_components,
+        )
+
+        edges = [(i, i + 1) for i in range(200)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        out = connected_components(df).collect()
+        assert {r["component"] for r in out} == {0}
+        assert {r["node"] for r in out} == set(range(1, 201))
+
+    def test_assign_components_covers_isolated(self, spark):
+        from associationabacminer_spark.operators.components import (
+            assign_components,
+        )
+
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "id: long")
+        edges = spark.createDataFrame([(0, 1), (1, 2)], "src: long, dst: long")
+        got = {
+            r["id"]: r["component"]
+            for r in assign_components(nodes, edges, "id").collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
+
+
+class TestFeatureRanking:
+    """Laplacian score / variance ranking vs dense numpy truth."""
+
+    def _data(self, spark, n=100, d=5, seed=9):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d))
+        labels = rng.integers(0, 3, n)
+        rows = [
+            (int(i), [float(v) for v in X[i]], int(labels[i])) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "id: long, embedding: array<double>, label: long"
+        )
+        return X, labels, df
+
+    def _lap_truth(self, X, S):
+        D = S.sum(1)
+        out = []
+        for r in range(X.shape[1]):
+            f = X[:, r]
+            num = 0.5 * np.sum(S * (f[:, None] - f[None, :]) ** 2)
+            ft = f - (f @ D) / D.sum()
+            out.append(num / (ft @ (D * ft)))
+        return out
+
+    def test_label_affinity_matches_numpy(self, spark):
+        from associationabacminer_spark.operators.featsel import laplacian_score
+
+        X, labels, df = self._data(spark)
+        S = (labels[:, None] == labels[None, :]).astype(float)
+        np.fill_diagonal(S, 0)
+        truth = self._lap_truth(X, S)
+        got = {
+            r["dim"]: r["lap_score"]
+            for r in laplacian_score(df, "id", "embedding", label_col="label").collect()
+        }
+        for r, t in enumerate(truth):
+            assert abs(got[r] - t) < 1e-5
+
+    def test_pair_path_equals_label_path(self, spark):
+        import itertools
+
+        from associationabacminer_spark.operators.featsel import laplacian_score
+
+        X, labels, df = self._data(spark, n=60)
+        pairs = [
+            (int(i), int(j))
+            for i, j in itertools.combinations(range(60), 2)
+            if labels[i] == labels[j]
+        ]
+        pdf = spark.createDataFrame(pairs, "src: long, dst: long")
+        a = {
+            r["dim"]: r["lap_score"]
+            for r in laplacian_score(df, "id", "embedding", label_col="label").collect()
+        }
+        b = {
+            r["dim"]: r["lap_score"]
+            for r in laplacian_score(df, "id", "embedding", pairs=pdf).collect()
+        }
+        assert a == b
+
+    def test_variance_ranking(self, spark):
+        from associationabacminer_spark.operators.featsel import variance_ranking
+
+        X, _, df = self._data(spark)
+        got = {
+            r["dim"]: r["variance"]
+            for r in variance_ranking(df, "id", "embedding").collect()
+        }
+        for r in range(X.shape[1]):
+            assert abs(got[r] - X[:, r].var()) < 1e-5
+
+    def test_exactly_one_affinity_required(self, spark):
+        from associationabacminer_spark.operators.featsel import laplacian_score
+
+        _, _, df = self._data(spark, n=10)
+        with pytest.raises(ValueError):
+            laplacian_score(df, "id", "embedding")
