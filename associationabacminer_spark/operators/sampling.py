@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data pipelines: per-group quota
+capping and hash-based train/test splits.  Unlike ``df.sample`` (P7,
+q52), these are pure functions of the data — rerunning the pipeline on
+the same input yields byte-identical output, which is what a 100-TB
+curation job needs for reproducibility and resume.
+
+Reference analog: the reference caps work per window by slicing sorted
+event lists (/root/reference/src/job/job_generator.py:60-74); the quota
+sampler is that idea as a distributed window function.
+
+Plan shape: one window per group for the quota (single shuffle on the
+group key), pure row-local expressions for the split (no shuffle at
+all).  The hash order key is md5 of the id — uniform, engine-portable
+(hex strings compare identically everywhere), and independent of
+physical row order."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_key(id_col: str, salt: str) -> F.Column:
+    return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``n_per_group`` rows per group, chosen by md5(id) order —
+    an unbiased, reproducible per-group cap (e.g. max N docs per source
+    domain).  Ties cannot occur (md5 of distinct ids collide only
+    cryptographically; id breaks them anyway)."""
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_key(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n_per_group)
+        .drop("__rn__")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    test_frac: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Adds ``split`` ('test'/'train'): a row is test iff the first 8 hex
+    chars of md5(salt || id) fall below the fraction threshold.  Fixed-
+    width lowercase hex compares lexicographically == numerically, so the
+    same expression runs on any engine; expected test share is
+    ``test_frac`` with per-row independence."""
+    threshold = format(int(test_frac * 16**8), "08x")
+    return df.withColumn(
+        "split",
+        F.when(
+            F.substring(_hash_key(id_col, salt), 1, 8) < F.lit(threshold),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )

@@ -1957,3 +1957,123 @@ def q69(spark, sf_dir):
     return variance_ranking(emb, "vec_id", "embedding").select(
         F.col("dim").cast("bigint").alias("dim"), "variance"
     )
+
+
+@query("q70_semdedup")
+def q70(spark, sf_dir):
+    """SemDeDup semantic dedup (rows-only): k-means cluster -> within-
+    cluster exact cosine pairs -> connected-components -> keep one doc
+    per duplicate group.  Self-checks: (a) no two SURVIVORS in the same
+    cluster are still near-dups (structural invariant of the closure),
+    (b) survivors + dropped == total, (c) the check is non-vacuous
+    (synthetic near-dup rows are injected so groups exist)."""
+    from associationabacminer_spark.operators import semdedup as SD
+    from associationabacminer_spark.operators.components import assign_components
+
+    base = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    # inject exact-dup rows (shifted ids) so duplicate groups exist
+    offset = 10_000_000
+    dups = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + offset
+    )
+    d = base.unionByName(dups)
+    thr = 0.99
+    clustered = SD.cluster_assign(d, "embedding", n_clusters=8).cache()
+    pairs = SD.semdedup_pairs(clustered, "vec_id", "embedding", thr)
+    comp = assign_components(
+        d, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        "vec_id",
+    )
+    keep = comp.filter(F.col("vec_id") == F.col("component")).select("vec_id")
+    survivors = clustered.join(keep, "vec_id", "left_semi")
+    n_total = d.count()
+    n_kept = survivors.count()
+    n_dup_pairs = pairs.count()
+    leftover = SD.semdedup_pairs(survivors, "vec_id", "embedding", thr).count()
+    clustered.unpersist()
+    return spark.createDataFrame(
+        [
+            ("semdedup_kept", float(n_kept), float(n_total), bool(n_kept < n_total)),
+            ("survivor_neardup_pairs", float(leftover), 0.0, bool(leftover == 0)),
+            ("dup_pairs_found", float(n_dup_pairs), 1.0, bool(n_dup_pairs >= 1)),
+        ],
+        "metric string, value double, reference double, ok boolean",
+    )
+
+
+@query(
+    "q71_tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc, token, COUNT(*) AS tf FROM (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+      ) WHERE token <> '' GROUP BY 1, 2
+    ),
+    docfreq AS (SELECT token, COUNT(*) AS df FROM terms GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc, terms.token AS token,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM terms, docfreq, n WHERE terms.token = docfreq.token
+    )
+    SELECT doc AS doc_id, token, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def q71(spark, sf_dir):
+    """Corpus TF-IDF top-3 terms per document: two hash aggs + token
+    equi-join + per-doc window, rounded-score ordering for portable
+    determinism."""
+    from associationabacminer_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+@query(
+    "q72_quota_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q72(spark, sf_dir):
+    """Deterministic per-source quota cap (max 5 docs per source by
+    md5(id) order) — reproducible stratified downsampling."""
+    from associationabacminer_spark.operators.sampling import quota_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_sample(d, "source", "doc_id", 5)
+
+
+@query(
+    "q73_hash_split",
+    """
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ) GROUP BY 1
+    """,
+)
+def q73(spark, sf_dir):
+    """Deterministic hash-based train/test split (shuffle-free row-local
+    expression); returns per-split counts."""
+    from associationabacminer_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", test_frac=0.1).groupBy("split").agg(
+        F.count("*").alias("n")
+    )

@@ -1062,3 +1062,100 @@ class TestFeatureRanking:
         _, _, df = self._data(spark, n=10)
         with pytest.raises(ValueError):
             laplacian_score(df, "id", "embedding")
+
+
+class TestSemDeDup:
+    def test_exact_dups_collapse_and_survivors_clean(self, spark):
+        from associationabacminer_spark.operators import semdedup as SD
+        from associationabacminer_spark.operators.components import (
+            assign_components,
+        )
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(80, 16))
+        rows = [(int(i), [float(v) for v in X[i]]) for i in range(80)]
+        # clones of vec 0..9 under new ids: guaranteed cos = 1.0
+        rows += [(100 + i, [float(v) for v in X[i]]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+        out = SD.semdedup(df, "vec_id", "embedding", threshold=0.999, n_clusters=4)
+        kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+        # every clone pair collapsed to the original (min id)
+        assert len(kept) == 80
+        assert all(100 + i not in kept for i in range(10))
+        assert all(i in kept for i in range(10))
+
+    def test_pairs_exact_within_cluster(self, spark):
+        from associationabacminer_spark.operators import semdedup as SD
+
+        rng = np.random.default_rng(6)
+        X = rng.normal(size=(60, 8))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        rows = [(int(i), [float(v) for v in X[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        clustered = SD.cluster_assign(df, "embedding", n_clusters=3)
+        got = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in SD.semdedup_pairs(clustered, "vec_id", "embedding", 0.5).collect()
+        }
+        # brute-force truth restricted to same-cluster pairs
+        assign = {r["vec_id"]: r["cluster"] for r in clustered.collect()}
+        want = {}
+        for i in range(60):
+            for j in range(i + 1, 60):
+                if assign[i] == assign[j]:
+                    c = float(X[i] @ X[j])
+                    if c >= 0.5:
+                        want[(i, j)] = round(c, 6)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-5
+
+
+class TestTfidfAndSampling:
+    def test_tfidf_matches_hand_computed(self, spark):
+        import math
+
+        from associationabacminer_spark.operators.tfidf import tfidf_top_terms
+
+        docs = [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry date"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        out = {
+            (r["doc_id"], r["token"]): (r["tfidf"], r["rank"])
+            for r in tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+        }
+        # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+        assert out[(1, "apple")] == (round(2 * math.log(3), 6), 1)
+        assert out[(1, "banana")] == (round(math.log(1.5), 6), 2)
+        # doc 3: cherry tf=2 df=2 -> 2*ln(1.5); date tf=1 df=1 -> ln(3)
+        assert out[(3, "date")][1] == 1  # ln(3) > 2*ln(1.5)
+        assert out[(3, "cherry")][1] == 2
+
+    def test_quota_sample_cap_and_determinism(self, spark):
+        from associationabacminer_spark.operators.sampling import quota_sample
+
+        rows = [(i, f"g{i % 3}") for i in range(50)]
+        df = spark.createDataFrame(rows, "id: long, grp: string")
+        a = quota_sample(df, "grp", "id", 4)
+        counts = {r["grp"]: r["n"] for r in a.groupBy("grp").agg(
+            F.count("*").alias("n")).collect()}
+        assert all(v == 4 for v in counts.values())
+        b = quota_sample(df, "grp", "id", 4)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        # different salt -> (almost surely) different pick
+        c = quota_sample(df, "grp", "id", 4, salt="v2")
+        assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+    def test_hash_split_deterministic_and_disjoint(self, spark):
+        from associationabacminer_spark.operators.sampling import hash_split
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], "id: long")
+        s = hash_split(df, "id", test_frac=0.2)
+        frac = s.filter(F.col("split") == "test").count() / 2000
+        assert 0.14 < frac < 0.26  # binomial 5-sigma-ish band
+        again = hash_split(df, "id", test_frac=0.2)
+        assert sorted(map(tuple, s.collect())) == sorted(map(tuple, again.collect()))
