@@ -203,3 +203,41 @@ class TestScalePlans:
         plan = plan_of(Q.QUERIES["q36_embedding_neardup"](spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+    def test_new_pipeline_queries_no_cartesian_or_python(self, spark):
+        """q67 components, q68 featsel (label path), q71 tfidf, q72/q73
+        sampling: all candidate generation is equi-join/window shaped and
+        JVM-side end to end."""
+        for name in (
+            "q67_dup_components",
+            "q68_laplacian_score",
+            "q69_variance_ranking",
+            "q71_tfidf_top_terms",
+            "q72_quota_sample",
+            "q73_hash_split",
+        ):
+            plan = plan_of(Q.QUERIES[name](spark, SF))
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoop" not in plan, name
+            assert "EvalPython" not in plan, name
+
+    def test_laplacian_label_path_is_two_aggregations(self, spark):
+        """The class-collapsed identity must plan as plain hash
+        aggregations — no per-pair join stage exists at all."""
+        plan = plan_of(Q.QUERIES["q68_laplacian_score"](spark, SF))
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan  # dims x label only
+        # pair-path signature: a join keyed on BOTH endpoint ids; absent here
+        assert plan.count("HashAggregate") >= 4
+
+    def test_semdedup_pair_join_is_equijoin_on_cluster(self, spark):
+        from associationabacminer_spark.operators import semdedup as SD
+
+        emb = Q.load_table(spark, SF, "embeddings").withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        clustered = SD.cluster_assign(emb, "embedding", n_clusters=4)
+        pairs = SD.semdedup_pairs(clustered, "vec_id", "embedding", 0.9)
+        plan = plan_of(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "cluster" in plan
