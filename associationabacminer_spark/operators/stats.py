@@ -134,3 +134,47 @@ def deterministic_mask(df: DataFrame, cols: list[str], salt: str = "") -> DataFr
             c, F.sha2(F.concat_ws("\x1f", F.lit(salt), F.col(c).cast("string")), 256)
         )
     return out
+
+
+def parse_dependency_map(correlations: list[str]) -> dict[str, list[str]]:
+    """E7: 'det -> dep' strings into a determinant->dependents multimap
+    (/root/reference/src/experiment/dependency_map_from_correlations.py:3-42
+    hardcodes the list; the parse/multimap shape is identical)."""
+    out: dict[str, list[str]] = {}
+    for corr in correlations:
+        det, dep = (s.strip() for s in corr.split("->", 1))
+        out.setdefault(det, []).append(dep)
+    return out
+
+
+def relation_fd_strength(df: DataFrame, det: str, dep: str) -> DataFrame:
+    """Whole-relation functional-dependency strength of det -> dep:
+    sum over determinant values of the majority dependent count, divided
+    by total rows (1.0 = exactly functional).  One row out."""
+    pair = df.groupBy(det, dep).agg(F.count("*").alias("cnt"))
+    per_det = pair.groupBy(det).agg(
+        F.max("cnt").alias("mx"), F.sum("cnt").alias("total")
+    )
+    return per_det.agg(
+        F.lit(det).alias("det"),
+        F.lit(dep).alias("dep"),
+        F.round(F.sum("mx") / F.sum("total").cast("double"), 6).alias("strength"),
+    )
+
+
+def dependency_map_from_fd(
+    df: DataFrame, cols: list[str], threshold: float = 0.99
+) -> dict[str, list[str]]:
+    """Derive the E7 dependency multimap from data instead of hardcoding
+    it: every ordered column pair whose whole-relation FD strength meets
+    the threshold becomes det -> dep.  k*(k-1) tiny aggregations over a
+    (usually pre-aggregated) frame; the resulting map is driver-sized."""
+    found: list[str] = []
+    for det in cols:
+        for dep in cols:
+            if det == dep:
+                continue
+            s = relation_fd_strength(df, det, dep).collect()[0]["strength"]
+            if s is not None and s >= threshold:
+                found.append(f"{det} -> {dep}")
+    return parse_dependency_map(found)

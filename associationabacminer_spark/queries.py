@@ -2077,3 +2077,44 @@ def q73(spark, sf_dir):
     return hash_split(d, "doc_id", test_frac=0.1).groupBy("split").agg(
         F.count("*").alias("n")
     )
+
+
+@query(
+    "q74_dependency_map",
+    """
+    SELECT det, dep, strength FROM (
+      SELECT 'l_returnflag' AS det, 'l_linestatus' AS dep,
+             ROUND(SUM(mx) / CAST(SUM(total) AS DOUBLE), 6) AS strength
+      FROM (SELECT l_returnflag, MAX(cnt) AS mx, SUM(cnt) AS total
+            FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+                  FROM lineitem GROUP BY 1, 2) GROUP BY 1)
+      UNION ALL
+      SELECT 'l_linestatus', 'l_returnflag',
+             ROUND(SUM(mx) / CAST(SUM(total) AS DOUBLE), 6)
+      FROM (SELECT l_linestatus, MAX(cnt) AS mx, SUM(cnt) AS total
+            FROM (SELECT l_linestatus, l_returnflag, COUNT(*) AS cnt
+                  FROM lineitem GROUP BY 1, 2) GROUP BY 1)
+      UNION ALL
+      SELECT 'l_linenumber', 'l_returnflag',
+             ROUND(SUM(mx) / CAST(SUM(total) AS DOUBLE), 6)
+      FROM (SELECT l_linenumber, MAX(cnt) AS mx, SUM(cnt) AS total
+            FROM (SELECT l_linenumber, l_returnflag, COUNT(*) AS cnt
+                  FROM lineitem GROUP BY 1, 2) GROUP BY 1)
+    )
+    """,
+)
+def q74(spark, sf_dir):
+    """Whole-relation FD strength for candidate dependency edges (E7
+    derived from data via E5 machinery, not hardcoded)."""
+    from associationabacminer_spark.operators.stats import relation_fd_strength
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        relation_fd_strength(li, "l_returnflag", "l_linestatus"),
+        relation_fd_strength(li, "l_linestatus", "l_returnflag"),
+        relation_fd_strength(li, "l_linenumber", "l_returnflag"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1159,3 +1159,31 @@ class TestTfidfAndSampling:
         assert 0.14 < frac < 0.26  # binomial 5-sigma-ish band
         again = hash_split(df, "id", test_frac=0.2)
         assert sorted(map(tuple, s.collect())) == sorted(map(tuple, again.collect()))
+
+
+class TestDependencyMap:
+    def test_parse_multimap(self):
+        from associationabacminer_spark.operators.stats import parse_dependency_map
+
+        m = parse_dependency_map(["a -> b", "a -> c", "x -> y"])
+        assert m == {"a": ["b", "c"], "x": ["y"]}
+
+    def test_fd_derivation(self, spark):
+        from associationabacminer_spark.operators.stats import (
+            dependency_map_from_fd,
+            relation_fd_strength,
+        )
+
+        rows = [
+            ("n1", "r1", "big"), ("n1", "r1", "big"), ("n2", "r1", "small"),
+            ("n3", "r2", "big"), ("n3", "r2", "small"),
+        ]
+        df = spark.createDataFrame(rows, "nation: string, region: string, size: string")
+        # nation -> region is exactly functional
+        s = relation_fd_strength(df, "nation", "region").collect()[0]
+        assert s["strength"] == 1.0
+        # region -> nation is not (r1 maps to n1 x2 / n2 x1 -> 2/3; r2 -> 1.0 over 2 rows)
+        s2 = relation_fd_strength(df, "region", "nation").collect()[0]
+        assert abs(s2["strength"] - 0.8) < 1e-9  # (2 + 2) / 5
+        m = dependency_map_from_fd(df, ["nation", "region"], threshold=0.99)
+        assert m == {"nation": ["region"]}
