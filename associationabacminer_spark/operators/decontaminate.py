@@ -1,0 +1,73 @@
+"""Train/test decontamination: flag evaluation documents that share a
+long word n-gram with any training document (the GPT-3-style 13-gram
+overlap rule — public method, Brown et al. 2020 App. C).
+
+Reference analog: the anti-join deletion pattern (J2,
+/root/reference/src/EnvAbacRuleMiner.py uncovered-remainder loop) applied
+across two corpora instead of within one.
+
+Plan shape: explode both sides to (shingle, id), equi-join on the
+shingle, distinct the hit ids, then left_anti / left_semi against the
+test table — no pair join of documents ever exists.  A document-frequency
+cap on the TRAIN side drops boilerplate shingles that would fan out the
+join (a shingle in 10^6 train docs produces 10^6 join rows per test hit
+while adding no signal — any genuinely contaminated pair shares many
+rarer shingles too).  Unlike dedup, the cap here only bounds the
+candidate fan-out per shingle; contamination is decided by ANY surviving
+shared shingle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from associationabacminer_spark.functions.text import word_ngrams
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("sh"),
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Distinct test ids sharing at least one word n-gram with train."""
+    tr = _shingles(train, text_col, id_col, n).select("sh").distinct()
+    if max_shingle_df is not None:
+        hot = (
+            _shingles(train, text_col, id_col, n)
+            .groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        tr = tr.join(hot, "sh", "left_anti")
+    te = _shingles(test, text_col, id_col, n)
+    return (
+        te.join(tr, "sh", "left_semi")
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Test rows with NO long-n-gram overlap against train."""
+    hits = contaminated_ids(train, test, text_col, id_col, n, max_shingle_df)
+    return test.join(hits, id_col, "left_anti")

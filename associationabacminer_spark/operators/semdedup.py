@@ -90,3 +90,25 @@ def semdedup(
     comp = assign_components(df, pairs, id_col)
     keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def diversity_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_per_cluster: int,
+    n_clusters: int = 16,
+    seed: int = 42,
+    salt: str = "",
+) -> DataFrame:
+    """Embedding-diversity downsampling: cluster the corpus with the
+    coarse quantizer, then keep a deterministic md5-order quota per
+    cluster — a cheap, fully-distributed stand-in for k-center selection
+    that guarantees every region of embedding space keeps representation
+    instead of letting dense regions dominate a uniform sample."""
+    from associationabacminer_spark.operators.sampling import quota_sample
+
+    clustered = cluster_assign(df, vec_col, n_clusters, seed)
+    return quota_sample(clustered, "cluster", id_col, n_per_cluster, salt).drop(
+        "cluster"
+    )

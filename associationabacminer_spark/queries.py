@@ -2118,3 +2118,78 @@ def q74(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q75_decontamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest([array_to_string(list_slice(t, i, i + 4), ' ')
+                     FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
+      FROM toks
+    ),
+    train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0),
+    test AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 10 = 0)
+    SELECT DISTINCT doc_id FROM test JOIN train USING (sh)
+    """,
+)
+def q75(spark, sf_dir):
+    """GPT-3-style decontamination: held-out docs (doc_id % 10 == 0)
+    sharing any word 5-gram with the train split.  Shingle equi-join +
+    left_semi — no document pair join."""
+    from associationabacminer_spark.operators.decontaminate import contaminated_ids
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    return contaminated_ids(train, test, "text", "doc_id", n=5)
+
+
+@query("q76_diversity_sample")
+def q76(spark, sf_dir):
+    """Embedding-diversity quota sample (rows-only): coarse clustering +
+    md5-order quota per cluster.  Self-checks: (a) kept count equals
+    sum(min(cluster_size, quota)) computed independently, (b) a rerun is
+    byte-identical (determinism), (c) no cluster exceeds the quota."""
+    from associationabacminer_spark.operators import semdedup as SD
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    quota = 20
+    clustered = SD.cluster_assign(emb, "embedding", n_clusters=8).cache()
+    kept = SD.diversity_sample(emb, "vec_id", "embedding", quota, n_clusters=8)
+    n_kept = kept.count()
+    expected = (
+        clustered.groupBy("cluster")
+        .agg(F.least(F.count("*"), F.lit(quota)).alias("take"))
+        .agg(F.sum("take").alias("s"))
+        .collect()[0]["s"]
+    )
+    again = SD.diversity_sample(emb, "vec_id", "embedding", quota, n_clusters=8)
+    same = sorted(r["vec_id"] for r in kept.select("vec_id").collect()) == sorted(
+        r["vec_id"] for r in again.select("vec_id").collect()
+    )
+    per_cluster_max = (
+        kept.join(clustered.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    clustered.unpersist()
+    return spark.createDataFrame(
+        [
+            ("kept_equals_expected", float(n_kept), float(expected),
+             bool(n_kept == expected)),
+            ("rerun_identical", 1.0 if same else 0.0, 1.0, bool(same)),
+            ("max_per_cluster", float(per_cluster_max), float(quota),
+             bool(per_cluster_max <= quota)),
+        ],
+        "metric string, value double, reference double, ok boolean",
+    )

@@ -1187,3 +1187,99 @@ class TestDependencyMap:
         assert abs(s2["strength"] - 0.8) < 1e-9  # (2 + 2) / 5
         m = dependency_map_from_fd(df, ["nation", "region"], threshold=0.99)
         assert m == {"nation": ["region"]}
+
+
+class TestDecontaminate:
+    def test_overlap_detection_and_clean_passthrough(self, spark):
+        from associationabacminer_spark.operators.decontaminate import (
+            contaminated_ids,
+            decontaminate,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "pack my box with five dozen liquor jugs")],
+            "doc_id: long, text: string",
+        )
+        test = spark.createDataFrame(
+            [(10, "intro text then the quick brown fox jumps over something"),
+             (11, "completely novel content with no shared phrasing at all"),
+             (12, "pack my box with five dozen liquor jugs verbatim copy")],
+            "doc_id: long, text: string",
+        )
+        hits = {r["doc_id"] for r in
+                contaminated_ids(train, test, "text", "doc_id", n=5).collect()}
+        assert hits == {10, 12}
+        clean = {r["doc_id"] for r in
+                 decontaminate(train, test, "text", "doc_id", n=5).collect()}
+        assert clean == {11}
+
+    def test_df_cap_keeps_rare_shingle_hits(self, spark):
+        from associationabacminer_spark.operators.decontaminate import (
+            contaminated_ids,
+        )
+
+        boiler = "standard header line repeated in every single document here"
+        train = spark.createDataFrame(
+            [(i, boiler) for i in range(20)]
+            + [(100, "a very unusual phrase that appears exactly once only")],
+            "doc_id: long, text: string",
+        )
+        test = spark.createDataFrame(
+            [(200, "prefix a very unusual phrase that appears exactly once only"),
+             (201, boiler)],
+            "doc_id: long, text: string",
+        )
+        # cap drops the boilerplate shingle (df=20 > 5) but the rare hit stays
+        hits = {r["doc_id"] for r in contaminated_ids(
+            train, test, "text", "doc_id", n=5, max_shingle_df=5).collect()}
+        assert 200 in hits and 201 not in hits
+        # without the cap both are flagged
+        all_hits = {r["doc_id"] for r in contaminated_ids(
+            train, test, "text", "doc_id", n=5).collect()}
+        assert all_hits == {200, 201}
+
+
+class TestDiversitySample:
+    def test_quota_and_determinism(self, spark):
+        from associationabacminer_spark.operators import semdedup as SD
+
+        rng = np.random.default_rng(2)
+        # 3 well-separated DIRECTIONS of different density (the quantizer
+        # normalizes vectors, so blobs must differ in angle, not radius)
+        dirs = np.zeros((3, 8))
+        dirs[0, 0] = 5.0
+        dirs[1, 1] = 5.0
+        dirs[2, 2] = -5.0
+        blobs = [dirs[j] + rng.normal(scale=0.05, size=(n, 8))
+                 for j, n in ((0, 60), (1, 25), (2, 8))]
+        X = np.vstack(blobs)
+        rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        kept = SD.diversity_sample(df, "vec_id", "embedding", 10, n_clusters=3)
+        ids = sorted(r["vec_id"] for r in kept.collect())
+        # contract: per-cluster min(size, quota), so kept count equals the
+        # independently-computed expectation and every cluster stays capped
+        clustered = SD.cluster_assign(df, "embedding", n_clusters=3)
+        sizes = [
+            r["n"]
+            for r in clustered.groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(ids) == sum(min(s, 10) for s in sizes)
+        assert len(ids) < 93  # downsampling actually happened
+        per_cluster = (
+            clustered.join(
+                spark.createDataFrame([(i,) for i in ids], "vec_id: long"),
+                "vec_id",
+                "left_semi",
+            )
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert all(r["n"] <= 10 for r in per_cluster)
+        assert len(per_cluster) == len(sizes)  # every cluster represented
+        again = SD.diversity_sample(df, "vec_id", "embedding", 10, n_clusters=3)
+        assert ids == sorted(r["vec_id"] for r in again.collect())
