@@ -25,10 +25,16 @@ from associationabacminer_spark.functions.text import word_ngrams
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, sh): shingles carried as xxhash64 int64, not strings — the
+    distinct and the train/test equi-join shuffle 8 bytes per shingle
+    instead of ~6n bytes.  A 64-bit collision could flag one clean doc
+    (P ~ |shingles|^2 / 2^64); acceptable for a contamination screen."""
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
+            F.array_distinct(
+                F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
+            )
         ).alias("sh"),
     )
 

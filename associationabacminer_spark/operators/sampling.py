@@ -30,14 +30,30 @@ def quota_sample(
     id_col: str,
     n_per_group: int,
     salt: str = "",
+    pre_buckets: int | None = None,
 ) -> DataFrame:
     """At most ``n_per_group`` rows per group, chosen by md5(id) order —
     an unbiased, reproducible per-group cap (e.g. max N docs per source
     domain).  Ties cannot occur (md5 of distinct ids collide only
-    cryptographically; id breaks them anyway)."""
-    w = Window.partitionBy(group_col).orderBy(
-        _hash_key(id_col, salt), F.col(id_col)
-    )
+    cryptographically; id breaks them anyway).
+
+    ``pre_buckets`` is the hot-group dial: a window over (group) sorts
+    the WHOLE group on one task, so a group with 10^9 rows is a
+    straggler.  With pre_buckets=S the rank runs in two phases — top-n
+    within each (group, md5-derived bucket) slice, then top-n over the
+    <= S*n survivors per group.  Same result set (the global md5 order's
+    first n rows survive their bucket's cut by construction), but no
+    task ever sorts more than ~|group|/S rows."""
+    key = _hash_key(id_col, salt)
+    if pre_buckets:
+        bucket = F.conv(F.substring(key, 1, 6), 16, 10).cast("long") % pre_buckets
+        w1 = Window.partitionBy(group_col, bucket).orderBy(key, F.col(id_col))
+        df = (
+            df.withColumn("__rn__", F.row_number().over(w1))
+            .filter(F.col("__rn__") <= n_per_group)
+            .drop("__rn__")
+        )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
     return (
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= n_per_group)

@@ -1899,10 +1899,16 @@ def q67(spark, sf_dir):
     )
     edges = None
     for key in (pre, suf):
-        w = Window.partitionBy(key)
-        e = d.select(
-            F.min("doc_id").over(w).alias("src"), F.col("doc_id").alias("dst")
-        ).filter(F.col("src") != F.col("dst"))
+        # groupBy + join back, NOT a window: groupBy gets a map-side
+        # partial min, so a boilerplate key shared by 10^7 docs reduces
+        # before the shuffle instead of landing on one window task
+        keyed = d.select(key.alias("k"), "doc_id")
+        mins = keyed.groupBy("k").agg(F.min("doc_id").alias("src"))
+        e = (
+            keyed.join(mins, "k")
+            .filter(F.col("src") != F.col("doc_id"))
+            .select("src", F.col("doc_id").alias("dst"))
+        )
         edges = e if edges is None else edges.union(e)
     return assign_components(d, edges, "doc_id")
 

@@ -141,3 +141,35 @@ def streaming_conversation_state(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first row per key wins, duplicate arrivals
+    within the watermark horizon are dropped, and per-key state is
+    evicted once the watermark passes — bounded state, unlike a naive
+    ``dropDuplicates`` whose state grows forever.  The streaming twin of
+    ``operators.dedup.exact_dedup`` (the reference's sha1-keyed unique
+    index, EnvLogUniverseGenerator.py:84-104)."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def streaming_content_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Content-hash variant: dedup on md5(text) so byte-identical
+    payloads collapse regardless of id."""
+    keyed = stream.withColumn("__digest__", F.md5(F.col(text_col)))
+    return streaming_dedup(keyed, ["__digest__"], ts_col, watermark).drop(
+        "__digest__"
+    )

@@ -44,6 +44,10 @@ HEADLINE = [
     "q57_agent_bin",
     "q61_metric_suite",
     "q64_asof_join_salted",
+    # round 2b: dup-group closure, corpus tf-idf, decontamination
+    "q67_dup_components",
+    "q71_tfidf_top_terms",
+    "q75_decontamination",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates
@@ -128,22 +132,51 @@ def main() -> None:
     timings["sketch_build_sql_1p2M_turns"] = round(sql_s, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite + 5-sketch build wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "sketch_turns_per_sec": round(n_rows / sketch_s, 1),
-                "sketch_sql_turns_per_sec": round(n_rows / sql_s, 1),
-                "sketch_rows": n_rows,
-                "cores": int(cpus),
-            }
-        )
-    )
+    out = {
+        "metric": "headline query suite + 5-sketch build wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "sketch_turns_per_sec": round(n_rows / sketch_s, 1),
+        "sketch_sql_turns_per_sec": round(n_rows / sql_s, 1),
+        "sketch_rows": n_rows,
+        "cores": int(cpus),
+    }
+    out.update(latest_scaling_evidence())
+    print(json.dumps(out))
     spark.stop()
+
+
+def latest_scaling_evidence() -> dict:
+    """Most recent comparable N-vs-4N sample from BENCH/BASELINE.md (the
+    separately-measured spark-submit scaling runs; see run_scaling.py).
+    Rows flagged non-comparable in prose are excluded by requiring the
+    59.2M-turn criterion input."""
+    md = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"
+    )
+    best = {}
+    passes = 0
+    try:
+        for line in open(md):
+            parts = [p.strip() for p in line.strip().strip("|").split("|")]
+            if len(parts) == 10 and parts[0] == "59240394":
+                passes += parts[9].startswith("PASS")
+                best = {
+                    "scaling_rows": int(parts[0]),
+                    "scaling_lo": parts[1],
+                    "scaling_lo_sec": float(parts[2]),
+                    "scaling_hi": parts[4],
+                    "scaling_hi_sec": float(parts[5]),
+                    "scaling_efficiency": float(parts[8]),
+                    "scaling_pass": parts[9].startswith("PASS"),
+                }
+    except OSError:
+        pass
+    if best:
+        best["scaling_pass_count"] = passes
+    return best
 
 
 if __name__ == "__main__":

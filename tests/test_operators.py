@@ -1283,3 +1283,51 @@ class TestDiversitySample:
         assert len(per_cluster) == len(sizes)  # every cluster represented
         again = SD.diversity_sample(df, "vec_id", "embedding", 10, n_clusters=3)
         assert ids == sorted(r["vec_id"] for r in again.collect())
+
+    def test_quota_pre_buckets_equivalent(self, spark):
+        """Two-phase (hot-group) quota must return the identical row set
+        as the single-window form."""
+        from associationabacminer_spark.operators.sampling import quota_sample
+
+        rows = [(i, f"g{i % 2}") for i in range(400)]
+        df = spark.createDataFrame(rows, "id: long, grp: string")
+        plain = sorted(map(tuple, quota_sample(df, "grp", "id", 7).collect()))
+        pre = sorted(
+            map(tuple, quota_sample(df, "grp", "id", 7, pre_buckets=8).collect())
+        )
+        assert plain == pre
+
+
+class TestStreamingDedup:
+    def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        from associationabacminer_spark.streaming.stream_agg import (
+            streaming_content_dedup,
+        )
+
+        rows = [
+            (1, "alpha", "2024-01-01 10:00:00"),
+            (2, "alpha", "2024-01-01 10:00:05"),   # dup content, later ts
+            (3, "beta", "2024-01-01 10:00:10"),
+            (4, "beta", "2024-01-01 10:00:11"),    # dup
+            (5, "gamma", "2024-01-01 10:01:00"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string, ts_s string").select(
+            "id", "text", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        src = str(tmp_path / "dedup-src")
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = streaming_content_dedup(stream, "text", "ts", watermark="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedupout")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("select text from dedupout").collect()
+        finally:
+            q.stop()
+        texts = sorted(r["text"] for r in got)
+        assert texts == ["alpha", "beta", "gamma"]
