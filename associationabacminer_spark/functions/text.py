@@ -107,3 +107,14 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+
+
+def repetition_ratio(text: Column | str) -> Column:
+    """Repeated-token fraction: 1 - distinct/total whitespace tokens
+    (0 = no repetition, ->1 = degenerate loops).  The cheap gibberish /
+    repetition-loop screen of quality filtering."""
+    t = F.trim(text if isinstance(text, Column) else F.col(text))
+    toks = F.split(t, r"\s+")
+    return F.when(t == "", F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
+    )

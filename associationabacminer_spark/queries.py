@@ -2199,3 +2199,60 @@ def q76(spark, sf_dir):
         ],
         "metric string, value double, reference double, ok boolean",
     )
+
+
+@query(
+    "q77_sequence_packing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id, doc_id % 64 AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS prev
+      FROM toks
+    )
+    SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard * 1000000000 + prev // 512 AS BIGINT) AS pack_id,
+           CAST(prev % 512 AS BIGINT) AS offset
+    FROM cum
+    """,
+)
+def q77(spark, sf_dir):
+    """Sequence packing (concat-split LLM batching): sharded running
+    token sum -> fixed-budget pack assignment, fully deterministic."""
+    from associationabacminer_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", budget=512, n_buckets=64
+    )
+
+
+@query(
+    "q78_repetition_filter",
+    r"""
+    SELECT doc_id,
+           ROUND(CASE WHEN trim(text) = '' THEN 0.0
+                      ELSE 1.0 - len(list_distinct(string_split_regex(trim(text), '\s+')))
+                            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                 END, 6) AS rep_ratio
+    FROM documents
+    WHERE CASE WHEN trim(text) = '' THEN 0.0
+               ELSE 1.0 - len(list_distinct(string_split_regex(trim(text), '\s+')))
+                     / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+          END >= 0.3
+    """,
+)
+def q78(spark, sf_dir):
+    """Repetition/gibberish screen: docs whose repeated-token fraction
+    is >= 0.3 (the cheap quality filter applied before training)."""
+    d = _t(spark, sf_dir, "documents")
+    r = TX.repetition_ratio(F.col("text"))
+    # filter on the raw ratio (as the oracle does), round only for output
+    return d.filter(r >= 0.3).select(
+        "doc_id", F.round(r, 6).alias("rep_ratio")
+    )

@@ -1331,3 +1331,65 @@ class TestStreamingDedup:
             q.stop()
         texts = sorted(r["text"] for r in got)
         assert texts == ["alpha", "beta", "gamma"]
+
+
+class TestPacking:
+    def test_pack_assignment_hand_computed(self, spark):
+        from associationabacminer_spark.operators.packing import (
+            pack_sequences,
+            pack_stats,
+        )
+
+        # one shard (n_buckets=1), budget 10; token counts 4,4,4,7,3
+        docs = [
+            (1, "a b c d"),
+            (2, "e f g h"),
+            (3, "i j k l"),
+            (4, "m n o p q r s"),
+            (5, "t u v"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        got = {
+            r["doc_id"]: (r["pack_id"], r["offset"], r["n_tokens"])
+            for r in pack_sequences(df, "doc_id", "text", budget=10,
+                                    n_buckets=1).collect()
+        }
+        # prev sums: 0,4,8,12,19 -> packs 0,0,0,1,1; offsets 0,4,8,2,9
+        assert got == {
+            1: (0, 0, 4), 2: (0, 4, 4), 3: (0, 8, 4), 4: (1, 2, 7), 5: (1, 9, 3)
+        }
+        stats = {
+            r["pack_id"]: (r["n_docs"], r["used_tokens"])
+            for r in pack_stats(
+                pack_sequences(df, "doc_id", "text", budget=10, n_buckets=1)
+            ).collect()
+        }
+        assert stats == {0: (3, 12), 1: (2, 10)}
+
+    def test_sharding_is_deterministic_and_bounded(self, spark):
+        from associationabacminer_spark.operators.packing import pack_sequences
+
+        rows = [(i, "w " * (i % 9 + 1)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        a = sorted(map(tuple, pack_sequences(df, "doc_id", "text", 32, 8).collect()))
+        b = sorted(map(tuple, pack_sequences(df, "doc_id", "text", 32, 8).collect()))
+        assert a == b
+        shards = {pid // 1_000_000_000 for (_, _, pid, _) in a}
+        assert shards == set(range(8))
+
+
+class TestRepetitionRatio:
+    def test_values(self, spark):
+        from associationabacminer_spark.functions.text import repetition_ratio
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a a a a"), (3, "a b a b"), (4, "")],
+            "id: long, text: string",
+        )
+        got = {
+            r["id"]: r["v"]
+            for r in df.select(
+                "id", F.round(repetition_ratio("text"), 6).alias("v")
+            ).collect()
+        }
+        assert got == {1: 0.0, 2: 0.75, 3: 0.5, 4: 0.0}
