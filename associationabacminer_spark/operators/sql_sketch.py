@@ -216,3 +216,24 @@ def bloom_from_sql(df: DataFrame, col: str, m_bits: int, k: int) -> BloomFilter:
         out.words[idx.astype(np.int64)] = words.astype(np.int64).view(np.uint64)
     # n_inserted is informational; recover it cheaply if needed
     return out
+
+
+def bottomk_from_sql(df: DataFrame, col: str, k: int = 256) -> "BottomK":
+    """Bottom-k build with the reduction JVM-side: the k smallest
+    distinct xxhash64 values compute as sort_agg/TakeOrdered over a
+    distinct — only k (hash, payload) pairs cross to Python.  Payload is
+    the same hash (join back on it to recover rows); register-identical
+    to a kernel fed the same pre-hashed keys."""
+    from associationabacminer_spark.sketch.bottomk import BottomK
+
+    rows = (
+        df.select(F.xxhash64(col).alias("h"))
+        .distinct()
+        # unsigned order == signed order after flipping the sign bit
+        .orderBy(F.col("h").bitwiseXOR(F.lit(-(2**63)).cast("long")))
+        .limit(k)
+    )
+    (h,) = _arrow_cols(rows, "h")
+    s = BottomK(k)
+    s.update_hashes(h.astype(np.uint64), payloads=h)
+    return s

@@ -2256,3 +2256,29 @@ def q78(spark, sf_dir):
     return d.filter(r >= 0.3).select(
         "doc_id", F.round(r, 6).alias("rep_ratio")
     )
+
+
+@query("q79_bottomk_distinct")
+def q79(spark, sf_dir):
+    """Bottom-k (KMV) distinct-sample sketch (rows-only): SQL-reduced
+    build (TakeOrdered over distinct xxhash64 — k rows cross to Python).
+    Self-checks: estimate within 5 sigma of exact distinct, and the
+    kept payloads are k valid hashes (a uniform distinct-key sample)."""
+    from associationabacminer_spark.operators.sql_sketch import bottomk_from_sql
+
+    ev = _t(spark, sf_dir, "events")
+    k = 128
+    s = bottomk_from_sql(ev, "user_id", k=k)
+    exact = ev.select("user_id").distinct().count()
+    est = s.estimate_distinct()
+    tol = 5 * s.relative_error()
+    ok_est = bool(abs(est - exact) / max(exact, 1) < tol) if exact >= k else bool(est == exact)
+    n_sample = int(len(s.sample()))
+    return spark.createDataFrame(
+        [
+            ("bottomk_estimate", float(round(est, 2)), float(exact), ok_est),
+            ("bottomk_sample_size", float(n_sample), float(min(k, exact)),
+             bool(n_sample == min(k, exact))),
+        ],
+        "metric string, value double, reference double, ok boolean",
+    )

@@ -22,12 +22,14 @@ from associationabacminer_spark.sketch.cms import CountMinSketch
 from associationabacminer_spark.sketch.bloom import BloomFilter
 from associationabacminer_spark.sketch.kll import KLL
 from associationabacminer_spark.sketch.tdigest import TDigest
+from associationabacminer_spark.sketch.bottomk import BottomK
 
 __all__ = [
     "hash64",
     "HyperLogLog",
     "CountMinSketch",
     "BloomFilter",
+    "BottomK",
     "KLL",
     "TDigest",
 ]

@@ -1,0 +1,113 @@
+"""Bottom-k (k-minimum-values) sketch — a mergeable DISTINCT-uniform
+sample + cardinality estimator (Bar-Yossef et al. 2002; Beyer et al.
+SIGMOD 2007 "KMV synopses").
+
+State is the k smallest distinct 64-bit hashes seen (plus an optional
+int64 payload per kept hash, e.g. the pre-hashed key or a doc id), so:
+
+* merge = concat, dedupe by hash, sort, truncate — associative,
+  commutative, idempotent (re-absorbing the same keys is a no-op),
+  byte-deterministic: no RNG anywhere, unlike a classic reservoir
+  sample, which is why this is the mergeable uniform sample that fits
+  the engine's resume/lineage story.
+* the kept hashes are a uniform sample of the DISTINCT keys (each
+  distinct key's hash is an iid uniform draw; keeping the k smallest is
+  order- and duplication-invariant).
+* distinct estimate (KMV): n < k -> exact n; else (k-1) / U_(k) with
+  U_(k) = h_(k) / 2^64, relative error ~ 1/sqrt(k-2).
+
+Reference analog: the exact SHA-256 hash-set distinct counting of
+/root/reference/src/eval/EnvPolicyEvaluator.py:106-169 — bottom-k keeps
+a bounded subset of exactly that hash set and still answers both "how
+many distinct" and "show me a uniform sample of them".
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from associationabacminer_spark.sketch.hashing import hash64
+
+_MAGIC = b"BTK1"
+_NO_PAYLOAD = np.int64(-(2**63))
+
+
+class BottomK:
+    __slots__ = ("k", "hashes", "payloads")
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.hashes = np.empty(0, dtype=np.uint64)
+        self.payloads = np.empty(0, dtype=np.int64)
+
+    # -- updates ----------------------------------------------------------
+    def update_batch(self, values) -> "BottomK":
+        """Absorb raw values (hashed with the library splitmix hash)."""
+        return self.update_hashes(hash64(values))
+
+    def update_hashes(self, h: np.ndarray, payloads=None) -> "BottomK":
+        """Absorb pre-hashed keys (uint64 view of e.g. Spark xxhash64).
+        ``payloads`` rides along with each kept hash (int64)."""
+        h = np.asarray(h).astype(np.uint64, copy=False)
+        if payloads is None:
+            p = np.full(h.shape, _NO_PAYLOAD, dtype=np.int64)
+        else:
+            p = np.asarray(payloads, dtype=np.int64)
+        self._absorb(h, p)
+        return self
+
+    def _absorb(self, h: np.ndarray, p: np.ndarray) -> None:
+        ah = np.concatenate([self.hashes, h])
+        ap = np.concatenate([self.payloads, p])
+        # dedupe by hash (payload of the first occurrence wins — payloads
+        # are a pure function of the key in every sane use, so any wins)
+        uh, idx = np.unique(ah, return_index=True)
+        up = ap[idx]
+        if len(uh) > self.k:
+            uh, up = uh[: self.k], up[: self.k]  # np.unique returns sorted
+        self.hashes, self.payloads = uh, up
+
+    # -- merge / serde ------------------------------------------------------
+    @staticmethod
+    def merge(a: "BottomK", b: "BottomK") -> "BottomK":
+        assert a.k == b.k, "bottom-k merge requires equal k"
+        out = BottomK(a.k)
+        out._absorb(
+            np.concatenate([a.hashes, b.hashes]),
+            np.concatenate([a.payloads, b.payloads]),
+        )
+        return out
+
+    def serialize(self) -> bytes:
+        head = _MAGIC + struct.pack("<ii", self.k, len(self.hashes))
+        return head + self.hashes.tobytes() + self.payloads.tobytes()
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "BottomK":
+        assert buf[:4] == _MAGIC, "not a bottom-k sketch"
+        k, n = struct.unpack("<ii", buf[4:12])
+        s = cls(k)
+        off = 12
+        s.hashes = np.frombuffer(buf[off : off + 8 * n], dtype=np.uint64).copy()
+        off += 8 * n
+        s.payloads = np.frombuffer(buf[off : off + 8 * n], dtype=np.int64).copy()
+        return s
+
+    # -- queries ------------------------------------------------------------
+    def estimate_distinct(self) -> float:
+        n = len(self.hashes)
+        if n < self.k:
+            return float(n)
+        u_k = float(self.hashes[-1]) / 2.0**64
+        return (self.k - 1) / u_k if u_k > 0 else float(n)
+
+    def relative_error(self) -> float:
+        """~1/sqrt(k-2) standard error of the KMV estimator."""
+        return 1.0 / np.sqrt(max(self.k - 2, 1))
+
+    def sample(self) -> np.ndarray:
+        """The kept payloads (a uniform sample of distinct keys); entries
+        without payloads are excluded."""
+        return self.payloads[self.payloads != _NO_PAYLOAD]

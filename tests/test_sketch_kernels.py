@@ -358,3 +358,63 @@ class TestWeightedKLL:
         assert k.n == 1_000_001
         assert k.quantile(0.5) == 1000.0
         assert k.rank(1.5) <= 0.01
+
+
+class TestBottomK:
+    def test_exact_below_k_and_estimate_above(self):
+        from associationabacminer_spark.sketch import BottomK
+
+        s = BottomK(k=128)
+        s.update_batch([f"key{i}" for i in range(50)])
+        assert s.estimate_distinct() == 50.0
+        s2 = BottomK(k=128)
+        n = 20000
+        s2.update_batch([f"key{i}" for i in range(n)])
+        err = abs(s2.estimate_distinct() - n) / n
+        assert err < 5 * s2.relative_error()
+
+    def test_duplicates_are_noops(self):
+        from associationabacminer_spark.sketch import BottomK
+
+        a = BottomK(k=64).update_batch(["x", "y", "z"] * 100)
+        assert a.estimate_distinct() == 3.0
+
+    def test_merge_laws_and_serde(self):
+        import numpy as np
+
+        from associationabacminer_spark.sketch import BottomK
+
+        rng = np.random.default_rng(1)
+        parts = [
+            [f"v{rng.integers(0, 5000)}" for _ in range(800)] for _ in range(4)
+        ]
+        sk = [BottomK(k=96).update_batch(p) for p in parts]
+        ab = BottomK.merge(sk[0], sk[1])
+        ba = BottomK.merge(sk[1], sk[0])
+        assert ab.serialize() == ba.serialize()  # commutative
+        l = BottomK.merge(BottomK.merge(sk[0], sk[1]), sk[2])
+        r = BottomK.merge(sk[0], BottomK.merge(sk[1], sk[2]))
+        assert l.serialize() == r.serialize()  # associative
+        rt = BottomK.deserialize(l.serialize())
+        assert rt.estimate_distinct() == l.estimate_distinct()
+        # merged sketch == single-pass sketch over the union (idempotent dedupe)
+        allv = [v for p in parts for v in p]
+        one = BottomK(k=96).update_batch(allv)
+        merged = sk[0]
+        for x in sk[1:]:
+            merged = BottomK.merge(merged, x)
+        assert merged.serialize() == one.serialize()
+
+    def test_payload_sample_uniformity_smoke(self):
+        import numpy as np
+
+        from associationabacminer_spark.sketch import BottomK
+        from associationabacminer_spark.sketch.hashing import hash64
+
+        ids = np.arange(100000, dtype=np.int64)
+        h = hash64(ids.astype("U10"))
+        s = BottomK(k=500).update_hashes(h, payloads=ids)
+        samp = s.sample()
+        assert len(samp) == 500
+        # a uniform sample's mean id should be near the population mean
+        assert abs(samp.mean() - ids.mean()) < 6 * ids.std() / np.sqrt(500)

@@ -448,3 +448,26 @@ class TestWindowedResume:
         m3: dict = {}
         run_windowed_with_lineage(ev, specs, ledger, "ts", "1 day", metrics_out=m3)
         assert m3["rows_processed"] == 0
+
+
+class TestBottomKSql:
+    def test_sql_reduction_register_identical(self, spark):
+        """bottomk_from_sql must equal a kernel fed the same xxhash64
+        pre-hashed keys — byte-identical serialized state."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.sql_sketch import bottomk_from_sql
+        from associationabacminer_spark.sketch import BottomK
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sql_sketch = bottomk_from_sql(ev, "user_id", k=64)
+        h = np.array(
+            [r["h"] for r in ev.select(F.xxhash64("user_id").alias("h")).collect()],
+            dtype=np.int64,
+        )
+        kernel = BottomK(k=64).update_hashes(h.astype(np.uint64), payloads=h)
+        assert sql_sketch.serialize() == kernel.serialize()
+        exact = ev.select("user_id").distinct().count()
+        est = sql_sketch.estimate_distinct()
+        assert abs(est - exact) / exact < 5 * sql_sketch.relative_error()
