@@ -237,3 +237,44 @@ def bottomk_from_sql(df: DataFrame, col: str, k: int = 256) -> "BottomK":
     s = BottomK(k)
     s.update_hashes(h.astype(np.uint64), payloads=h)
     return s
+
+
+def hll_estimate_by_group(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 14
+) -> DataFrame:
+    """(group_cols..., approx_distinct): per-group HLL estimates computed
+    ENTIRELY JVM-side — two hash aggregations ((groups, idx) max-rho,
+    then the harmonic sum per group), zero Python in the path and no
+    collect.  Implements the kernel's exact estimator (alpha * m^2 /
+    harmonic sum, linear counting below 2.5m with zero registers), so a
+    group's estimate equals HyperLogLog.estimate() on the same rows up
+    to float summation order.  The built-in approx_count_distinct would
+    also work; this variant exists so per-group numbers are consistent
+    with the engine's mergeable kernel states (same register semantics,
+    same corrections) across batch, windowed, and resumed builds."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.xxhash64(col)
+    idx = F.shiftrightunsigned(h, 64 - p)
+    rest = h.bitwiseAND(F.lit((1 << (64 - p)) - 1))
+    rho = F.when(rest == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p) - F.floor(F.log2(rest.cast("double")))
+    )
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, idx.alias("idx"), rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
+    zeros = F.lit(m) - F.col("nz")
+    return agg.select(
+        *group_cols,
+        F.when((raw <= 2.5 * m) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros))
+        .otherwise(raw)
+        .alias("approx_distinct"),
+    )

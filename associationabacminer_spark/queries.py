@@ -2282,3 +2282,33 @@ def q79(spark, sf_dir):
         ],
         "metric string, value double, reference double, ok boolean",
     )
+
+
+@query("q80_hll_by_group")
+def q80(spark, sf_dir):
+    """Per-group approximate distinct (rows-only): JVM-side HLL estimate
+    per event_type, self-checked against exact countDistinct within the
+    published 5-sigma bound."""
+    from associationabacminer_spark.operators.sql_sketch import (
+        hll_estimate_by_group,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate_by_group(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    bound = 5 * 1.04 / (1 << 14) ** 0.5
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("approx_distinct", 2).alias("estimate"),
+            F.col("exact").cast("double").alias("exact"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact"))
+                / F.greatest(F.col("exact"), F.lit(1))
+                < bound
+            ).alias("ok"),
+        )
+    )

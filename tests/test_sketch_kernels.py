@@ -418,3 +418,21 @@ class TestBottomK:
         assert len(samp) == 500
         # a uniform sample's mean id should be near the population mean
         assert abs(samp.mean() - ids.mean()) < 6 * ids.std() / np.sqrt(500)
+
+
+class TestHllSetAlgebra:
+    def test_intersection_and_difference(self):
+        from associationabacminer_spark.sketch import HyperLogLog
+        from associationabacminer_spark.sketch.hll import (
+            difference_estimate,
+            intersection_estimate,
+        )
+
+        a = HyperLogLog(14).update_batch([f"k{i}" for i in range(0, 60000)])
+        b = HyperLogLog(14).update_batch([f"k{i}" for i in range(40000, 100000)])
+        inter = intersection_estimate(a, b)
+        diff = difference_estimate(a, b)
+        # truth: |A∩B| = 20000, |A\B| = 40000; tolerance ~3 sigma of the
+        # 100k union (1.04/128 ≈ 0.81% -> ±2430 on the union)
+        assert abs(inter - 20000) < 3 * 3 * 1.04 / 128 * 100000
+        assert abs(diff - 40000) < 3 * 3 * 1.04 / 128 * 100000

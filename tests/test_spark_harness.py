@@ -471,3 +471,40 @@ class TestBottomKSql:
         exact = ev.select("user_id").distinct().count()
         est = sql_sketch.estimate_distinct()
         assert abs(est - exact) / exact < 5 * sql_sketch.relative_error()
+
+
+class TestHllByGroup:
+    def test_matches_kernel_and_bound_per_group(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.sql_sketch import (
+            hll_estimate_by_group,
+        )
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        got = {
+            r["event_type"]: r["approx_distinct"]
+            for r in hll_estimate_by_group(ev, ["event_type"], "user_id").collect()
+        }
+        for et, est in got.items():
+            # kernel parity on the same rows
+            h = np.array(
+                [
+                    r["h"]
+                    for r in ev.filter(F.col("event_type") == et)
+                    .select(F.xxhash64("user_id").alias("h"))
+                    .collect()
+                ],
+                dtype=np.int64,
+            )
+            k = HyperLogLog(14).update_hashes(h.astype(np.uint64))
+            assert abs(est - k.estimate()) <= 1e-9 * max(1.0, k.estimate()), et
+            exact = (
+                ev.filter(F.col("event_type") == et)
+                .select("user_id")
+                .distinct()
+                .count()
+            )
+            assert abs(est - exact) / max(exact, 1) < 5 * k.relative_error
