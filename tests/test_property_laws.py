@@ -156,3 +156,44 @@ class TestTDigestLaws:
         wts = np.array([p[1] for p in pairs], dtype=np.float64)
         td = TDigest(delta=100).update_batch(vals, weights=wts)
         assert float(td.n) == pytest.approx(wts.sum())
+
+
+class TestBottomKLaws:
+    @settings(max_examples=30, deadline=None)
+    @given(int_keys, int_keys, int_keys)
+    def test_merge_assoc_comm_byte_exact(self, xa, xb, xc):
+        from associationabacminer_spark.sketch import BottomK
+
+        def mk(xs):
+            h = _np_keys(xs).astype(np.uint64)
+            return BottomK(k=32).update_hashes(h, payloads=_np_keys(xs))
+
+        a, b, c = mk(xa), mk(xb), mk(xc)
+        ab_c = BottomK.merge(BottomK.merge(a, b), c)
+        a_bc = BottomK.merge(a, BottomK.merge(b, c))
+        b_ac = BottomK.merge(b, BottomK.merge(a, c))
+        assert ab_c.serialize() == a_bc.serialize() == b_ac.serialize()
+
+    @settings(max_examples=30, deadline=None)
+    @given(int_keys, int_keys)
+    def test_merge_equals_union_stream_and_idempotent(self, xa, xb):
+        from associationabacminer_spark.sketch import BottomK
+
+        def mk(xs):
+            return BottomK(k=32).update_hashes(_np_keys(xs).astype(np.uint64))
+
+        m = BottomK.merge(mk(xa), mk(xb))
+        u = mk(xa + xb)
+        assert m.serialize() == u.serialize()
+        again = BottomK.merge(m, mk(xa))  # re-absorbing a subset: no-op
+        assert again.serialize() == m.serialize()
+
+    @settings(max_examples=20, deadline=None)
+    @given(int_keys)
+    def test_estimate_exact_below_k(self, xs):
+        from associationabacminer_spark.sketch import BottomK
+
+        distinct = len(set(xs))
+        s = BottomK(k=1024).update_hashes(_np_keys(xs).astype(np.uint64))
+        if distinct < 1024:
+            assert s.estimate_distinct() == float(distinct)
