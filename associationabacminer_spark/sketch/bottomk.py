@@ -43,8 +43,13 @@ class BottomK:
         self.payloads = np.empty(0, dtype=np.int64)
 
     # -- updates ----------------------------------------------------------
-    def update_batch(self, values) -> "BottomK":
-        """Absorb raw values (hashed with the library splitmix hash)."""
+    def update_batch(self, values, prehashed: bool = False) -> "BottomK":
+        """Absorb raw values (hashed with the library splitmix hash), or
+        pre-hashed int64 keys (``prehashed=True`` — the harness/SQL path;
+        payload rides along so the sample stays joinable)."""
+        if prehashed:
+            h = np.asarray(values, dtype=np.int64)
+            return self.update_hashes(h.astype(np.uint64), payloads=h)
         return self.update_hashes(hash64(values))
 
     def update_hashes(self, h: np.ndarray, payloads=None) -> "BottomK":

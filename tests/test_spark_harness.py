@@ -508,3 +508,38 @@ class TestHllByGroup:
                 .count()
             )
             assert abs(est - exact) / max(exact, 1) < 5 * k.relative_error
+
+
+class TestBottomKHarness:
+    def test_bottomk_through_applyinpandas_harness(self, spark, transcripts):
+        """BottomK slots into the generic SketchSpec harness: the
+        distributed build (prehashed conv keys, tree merge) must be
+        byte-identical to one kernel absorbing every key."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.agg import (
+            SketchSpec,
+            sketch_aggregate,
+        )
+        from associationabacminer_spark.sketch import BottomK
+
+        got = sketch_aggregate(
+            transcripts.select("conv_id"),
+            [SketchSpec(
+                "btk", lambda: BottomK(k=64), "conv_id",
+                kernel_cls=BottomK, prehash=True,
+            )],
+            method="map",
+        )["btk"]
+        h = np.array(
+            [
+                r["h"]
+                for r in transcripts.select(
+                    F.xxhash64("conv_id").alias("h")
+                ).distinct().collect()
+            ],
+            dtype=np.int64,
+        )
+        one = BottomK(k=64).update_batch(h, prehashed=True)
+        assert got.serialize() == one.serialize()
