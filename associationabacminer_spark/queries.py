@@ -2312,3 +2312,63 @@ def q80(spark, sf_dir):
             ).alias("ok"),
         )
     )
+
+
+@query(
+    "q81_group_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q81(spark, sf_dir):
+    """Per-group discrete quantiles: percentile_approx at accuracy 1e6 is
+    the exact order statistic on test scales and the GK-sketch approx at
+    cluster scale — same query text either way (the Spark-native cousin
+    of the KLL/t-digest paths, which stay sketch-checked in q40/q41)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000000).alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000000).alias("p99"),
+    )
+
+
+@query(
+    "q82_latency_quantiles",
+    """
+    SELECT event_type,
+           quantile_disc(gap, 0.5) AS p50,
+           quantile_disc(gap, 0.95) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM (
+      SELECT event_type,
+             epoch(ts) - lag(epoch(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    )
+    WHERE gap IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q82(spark, sf_dir):
+    """Inter-event latency quantiles per event type — the oracled anchor
+    for the north-star latency-quantile metric (KLL/t-digest variants are
+    bound-checked in q40/q41)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("gap", 0.5, 1000000).alias("p50"),
+            F.percentile_approx("gap", 0.95, 1000000).alias("p95"),
+            F.count("*").alias("n_gaps"),
+        )
+    )
