@@ -281,3 +281,100 @@ def run_windowed_with_lineage(
         metrics_out.update({"lineage_rows": 0, "rows_processed": 0})
 
     return _merge_window_partials(spark.read.parquet(build_path), specs)
+
+
+def grouped_sketch_states(
+    df: DataFrame,
+    group_col: str,
+    specs,
+    salts: int = 8,
+) -> DataFrame:
+    """Sketch-as-a-column: one row per (group, sketch) with the kernel's
+    serialized binary state — the arbitrary-key generalization of the
+    windowed build (same (key, salt) partial -> merge shape, same
+    bounded-task guarantee for hot groups).  The output table can be
+    stored, unioned across runs, and re-merged later because every
+    kernel's merge is associative; estimates never require re-reading
+    rows."""
+    import time as _time
+
+    from associationabacminer_spark.operators.agg import NULL_SENTINEL, _clean
+
+    exprs: dict[str, object] = {}
+    spec_cols: list[str] = []
+    for s in specs:
+        if s.prehash:
+            cn = f"__xxh_{s.column}__"
+            exprs.setdefault(
+                cn,
+                F.when(F.col(s.column).isNotNull(), F.xxhash64(s.column)).otherwise(
+                    F.lit(NULL_SENTINEL)
+                ),
+            )
+        else:
+            cn = s.column
+            exprs.setdefault(cn, F.col(cn))
+        spec_cols.append(cn)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(s.column) for s in specs], F.lit(0x5A17)), F.lit(salts)
+    ).cast("int")
+    proj = df.select(
+        F.col(group_col).alias("__g__"),
+        salt.alias("__salt__"),
+        *[v.alias(k) for k, v in exprs.items()],
+    )
+    spec_list = [
+        (
+            s.name,
+            s.make,
+            c,
+            s.dropna,
+            s.prehash,
+            NULL_SENTINEL if s.prehash else s.null_value,
+        )
+        for s, c in zip(specs, spec_cols)
+    ]
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf["__g__"].iloc[0]
+        out = []
+        for name, make, column, dropna, prehash, sentinel in spec_list:
+            kernel = make()
+            arr = _clean(pdf[column], dropna, sentinel)
+            if len(arr):
+                if prehash:
+                    kernel.update_batch(arr, prehashed=True)
+                else:
+                    kernel.update_batch(arr)
+            out.append((g, name, int(pdf["__salt__"].iloc[0]), len(arr),
+                        kernel.serialize()))
+        return pd.DataFrame(
+            out, columns=["group", "sketch_name", "salt", "row_count", "sketch"]
+        )
+
+    partials = proj.groupBy("__g__", "__salt__").applyInPandas(
+        build,
+        schema="group string, sketch_name string, salt int, row_count long, "
+        "sketch binary",
+    )
+
+    deser = {s.name: (s.kernel_cls or type(s.make())).deserialize for s in specs}
+    merge_fn = {s.name: (s.kernel_cls or type(s.make())).merge for s in specs}
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt")  # deterministic merge order
+        name = pdf["sketch_name"].iloc[0]
+        acc = None
+        for blob in pdf["sketch"]:
+            k = deser[name](bytes(blob))
+            acc = k if acc is None else merge_fn[name](acc, k)
+        return pd.DataFrame(
+            [(pdf["group"].iloc[0], name, int(pdf["row_count"].sum()),
+              acc.serialize())],
+            columns=["group", "sketch_name", "row_count", "sketch"],
+        )
+
+    return partials.groupBy("group", "sketch_name").applyInPandas(
+        merge,
+        schema="group string, sketch_name string, row_count long, sketch binary",
+    )

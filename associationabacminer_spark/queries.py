@@ -2372,3 +2372,37 @@ def q82(spark, sf_dir):
             F.count("*").alias("n_gaps"),
         )
     )
+
+
+@query("q83_grouped_sketch_states")
+def q83(spark, sf_dir):
+    """Sketch-as-a-column (rows-only): per-event-type HLL binary states
+    built with bounded (group, salt) tasks; self-check deserializes each
+    state and compares its estimate to exact countDistinct within the
+    published 5-sigma bound."""
+    from associationabacminer_spark.operators.agg import SketchSpec
+    from associationabacminer_spark.operators.windowed_sketch import (
+        grouped_sketch_states,
+    )
+    from associationabacminer_spark.sketch import HyperLogLog
+
+    ev = _t(spark, sf_dir, "events")
+    specs = [SketchSpec("hll_user", HyperLogLog, "user_id",
+                        kernel_cls=HyperLogLog, prehash=True)]
+    states = {r["group"]: r for r in
+              grouped_sketch_states(ev, "event_type", specs, salts=4).collect()}
+    exacts = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    rows = []
+    for g, exact in sorted(exacts.items()):
+        k = HyperLogLog.deserialize(bytes(states[g]["sketch"]))
+        est = k.estimate()
+        ok = bool(abs(est - exact) <= 5 * k.relative_error * max(exact, 1))
+        rows.append((g, float(round(est, 2)), float(exact), ok))
+    return spark.createDataFrame(
+        rows, "group string, estimate double, exact double, ok boolean"
+    )

@@ -543,3 +543,37 @@ class TestBottomKHarness:
         )
         one = BottomK(k=64).update_batch(h, prehashed=True)
         assert got.serialize() == one.serialize()
+
+
+class TestGroupedSketchStates:
+    def test_per_group_states_estimate_and_partition_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import (
+            grouped_sketch_states,
+        )
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        specs = [SketchSpec("hll_user", HyperLogLog, "user_id",
+                            kernel_cls=HyperLogLog, prehash=True)]
+        states = grouped_sketch_states(ev, "event_type", specs, salts=4)
+        rows = {r["group"]: r for r in states.collect()}
+        exacts = {
+            r["event_type"]: r["x"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("x"))
+            .collect()
+        }
+        assert set(rows) == set(exacts)
+        for g, r in rows.items():
+            k = HyperLogLog.deserialize(bytes(r["sketch"]))
+            assert abs(k.estimate() - exacts[g]) <= 5 * k.relative_error * exacts[g]
+        # different salting/partitioning -> identical registers (max-merge)
+        again = grouped_sketch_states(ev.repartition(7), "event_type", specs,
+                                      salts=2)
+        for r in again.collect():
+            a = HyperLogLog.deserialize(bytes(r["sketch"]))
+            b = HyperLogLog.deserialize(bytes(rows[r["group"]]["sketch"]))
+            assert (a._registers() == b._registers()).all()
