@@ -2406,3 +2406,82 @@ def q83(spark, sf_dir):
     return spark.createDataFrame(
         rows, "group string, estimate double, exact double, ok boolean"
     )
+
+
+@query(
+    "q84_event_bigrams",
+    """
+    SELECT prev, event_type AS curr, COUNT(*) AS n FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ) WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q84(spark, sf_dir):
+    """Event-transition bigrams (turn-taking stats): lag window per user
+    + one aggregation — the Markov-transition table of the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("curr"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q85_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def q85(spark, sf_dir):
+    """Ordered three-stage funnel (view -> click -> purchase): per-stage
+    earliest-qualifying-timestamp joins; each stage is one aggregation +
+    one equi-join on user_id — no sequence explosion."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        ("view", v.count()),
+        ("view>click", c.count()),
+        ("view>click>purchase", p.count()),
+    ]
+    return spark.createDataFrame(rows, "stage string, n_users long")
