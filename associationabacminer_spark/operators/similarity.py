@@ -94,6 +94,42 @@ def bucket_expr(vec_col: str, hp: np.ndarray) -> Column:
     return bucket
 
 
+def probe_buckets_expr(vec_col: str, hp: np.ndarray, nprobe: int) -> Column:
+    """Multi-probe bucket list (Lv et al., VLDB 2007): the base sign-bit
+    bucket plus the buckets reached by flipping the ``nprobe - 1``
+    LOWEST-MARGIN hyperplane bits — the planes the vector is nearest to,
+    i.e. where a true neighbor most plausibly lands on the other side.
+    Pure Catalyst expressions: per-plane dots -> (|margin|, plane)
+    structs -> array_sort -> XOR flips."""
+    planes = hp.shape[0]
+    dots = [
+        dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in hp[j]]))
+        for j in range(planes)
+    ]
+    base = F.lit(0).cast("long")
+    for j in range(planes):
+        base = base * 2 + F.when(dots[j] >= 0, F.lit(1)).otherwise(F.lit(0))
+    if nprobe <= 1:
+        return F.array(base)
+    margins = F.array_sort(
+        F.array(*[
+            F.struct(F.abs(dots[j]).alias("m"), F.lit(j).alias("j"))
+            for j in range(planes)
+        ])
+    )
+    flips = F.slice(margins, 1, min(nprobe - 1, planes))
+    flipped = F.transform(
+        flips,
+        # shiftleft() needs a literal shift; 2^(planes-1-j) is exact in
+        # double for any sane plane count
+        lambda s: base.bitwiseXOR(
+            F.pow(F.lit(2.0), (F.lit(planes - 1) - s["j"]).cast("double"))
+            .cast("long")
+        ),
+    )
+    return F.concat(F.array(base), flipped)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,10 +138,13 @@ def ann_lsh_topk(
     k: int = 5,
     planes: int = 6,
     seed: int = 42,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket,
-    then exact cosine re-rank within the bucket.  Recall is tested
-    against ``brute_force_topk`` (tests/test_similarity.py)."""
+    """Approximate top-k: candidates share the query's hyperplane bucket
+    (or one of its ``nprobe`` multi-probe buckets), then exact cosine
+    re-rank.  Recall is tested against ``brute_force_topk``
+    (tests/test_operators.py); nprobe is the recall/cost dial — each
+    extra probe scans ~1/2^planes more of the corpus per query."""
     dims = len(corpus.select(vec_col).first()[0])
     hp = hyperplanes(dims, planes, seed)
     cb = corpus.select(
@@ -116,11 +155,13 @@ def ann_lsh_topk(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        bucket_expr(vec_col, hp).alias("bucket"),
+        F.explode(probe_buckets_expr(vec_col, hp, nprobe)).alias("bucket"),
     )
     scored = (
         cb.join(qb, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # multi-probe can surface the same candidate via several buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -1077,13 +1077,16 @@ def q44(spark, sf_dir):
 
 @query("q45_ann_lsh_topk")
 def q45(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbors (rows-only; recall vs
-    brute force asserted in tests/test_similarity.py)."""
+    """LSH-bucketed approximate nearest neighbors with multi-probe
+    (rows-only; recall vs brute force + probe-list shape asserted in
+    tests/test_operators.py TestMultiProbeLsh)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     qs = emb.filter(F.col("vec_id") < 5)
-    return similarity.ann_lsh_topk(emb, qs, "vec_id", "embedding", k=3, planes=4)
+    return similarity.ann_lsh_topk(
+        emb, qs, "vec_id", "embedding", k=3, planes=4, nprobe=3
+    )
 
 
 @query("q46_rule_mining")

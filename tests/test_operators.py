@@ -1393,3 +1393,52 @@ class TestRepetitionRatio:
             ).collect()
         }
         assert got == {1: 0.0, 2: 0.75, 3: 0.5, 4: 0.0}
+
+
+class TestMultiProbeLsh:
+    def test_multiprobe_recall_dominates_single(self, spark):
+        rng = np.random.default_rng(13)
+        base = rng.standard_normal((80, 16))
+        rows = [(i, [float(x) for x in base[i % 16] + 0.05 * base[i]])
+                for i in range(80)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qs = emb.filter(F.col("vec_id") < 10)
+        bf = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.brute_force_topk(emb, qs, k=3).collect()}
+
+        def recall(nprobe):
+            got = {(r["query_id"], r["neighbor_id"])
+                   for r in similarity.ann_lsh_topk(
+                       emb, qs, k=3, planes=5, nprobe=nprobe).collect()}
+            return len(got & bf) / len(bf)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1
+        assert r4 >= 0.6
+
+    def test_probe_list_shape_and_dedup(self, spark):
+        """nprobe buckets per query, all distinct, base bucket included;
+        no duplicate (query, neighbor) pairs leak into the ranking."""
+        import numpy as np
+
+        from associationabacminer_spark.operators.similarity import (
+            hyperplanes,
+            probe_buckets_expr,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        hp = hyperplanes(8, 5, 42)
+        got = df.select(
+            probe_buckets_expr("embedding", hp, 4).alias("bs")
+        ).collect()
+        for r in got:
+            bs = r["bs"]
+            assert len(bs) == 4
+            assert len(set(bs)) == 4  # flips are distinct planes -> distinct buckets
+            assert all(0 <= b < 32 for b in bs)
+        out = similarity.ann_lsh_topk(df, df.limit(5), k=3, planes=5, nprobe=8)
+        rows_out = out.collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows_out]
+        assert len(pairs) == len(set(pairs))
