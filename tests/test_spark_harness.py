@@ -577,3 +577,38 @@ class TestGroupedSketchStates:
             a = HyperLogLog.deserialize(bytes(r["sketch"]))
             b = HyperLogLog.deserialize(bytes(rows[r["group"]]["sketch"]))
             assert (a._registers() == b._registers()).all()
+
+
+class TestRangeSortedLayout:
+    def test_output_files_have_disjoint_ranges(self, spark, tmp_path):
+        """The written files' parquet min/max statistics must form
+        non-overlapping ts ranges — the property pruning relies on."""
+        from associationabacminer_spark.sources.layout import (
+            file_ranges,
+            write_range_sorted,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        dst = str(tmp_path / "sorted-events")
+        write_range_sorted(ev, dst, ["ts"], n_files=8)
+        back = spark.read.parquet(dst)
+        assert back.count() == ev.count()
+        ranges = sorted(file_ranges(dst, "ts"))
+        assert len(ranges) >= 4
+        for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b, (hi_a, lo_b)
+
+    def test_unsorted_write_overlaps(self, spark, tmp_path):
+        """Control: a hash-repartitioned write has overlapping ranges —
+        the test above isn't vacuously true."""
+        from associationabacminer_spark.sources.layout import file_ranges
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        dst = str(tmp_path / "hashed-events")
+        ev.repartition(8).write.mode("overwrite").parquet(dst)
+        ranges = sorted(file_ranges(dst, "ts"))
+        overlaps = sum(
+             1 for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:])
+             if hi_a > lo_b
+        )
+        assert overlaps > 0
