@@ -48,16 +48,18 @@ def contaminated_ids(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Distinct test ids sharing at least one word n-gram with train."""
-    tr = _shingles(train, text_col, id_col, n).select("sh").distinct()
     if max_shingle_df is not None:
-        hot = (
+        # one pass over train: the doc-frequency count IS the distinct
+        # shingle set, so the cap never costs a second corpus scan
+        tr = (
             _shingles(train, text_col, id_col, n)
             .groupBy("sh")
             .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
+            .filter(F.col("df") <= max_shingle_df)
             .select("sh")
         )
-        tr = tr.join(hot, "sh", "left_anti")
+    else:
+        tr = _shingles(train, text_col, id_col, n).select("sh").distinct()
     te = _shingles(test, text_col, id_col, n)
     return (
         te.join(tr, "sh", "left_semi")

@@ -252,14 +252,17 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     # block i covers [off_i, off_i + width_i); widths differ by <= 1
     widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    def _block_key(i: int):
+        key = F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        # width 64 (max_hamming=0, one block) needs no mask — and
+        # (1 << 64) - 1 would overflow LongType anyway
+        if widths[i] < 64:
+            key = key.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return key
+
     blocks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("key"),
-            )
+            F.struct(F.lit(i).alias("blk"), _block_key(i).alias("key"))
             for i in range(n_blocks)
         ]
     )
@@ -342,14 +345,28 @@ def winnow_fingerprints(
 
 
 def winnow_overlap_pairs(
-    fp_df: DataFrame, min_overlap: float = 0.5
+    fp_df: DataFrame, min_overlap: float = 0.5, max_print_df: int | None = None
 ) -> DataFrame:
     """Near-dup pairs by shared winnowed prints: explode -> equi-join on
     print -> overlap coefficient |A∩B| / min(|A|,|B|) >= threshold.
     Same candidate-then-exact shape as the other dedup paths — never an
-    all-pairs join."""
+    all-pairs join.
+
+    ``max_print_df`` caps the join fan-out the same way
+    ``ngram_jaccard_pairs``'s shingle cap does: a boilerplate print
+    shared by 10^6 docs otherwise emits ~10^12 candidate rows.  Capped
+    prints are excluded from BOTH the join and the overlap numerator, so
+    a pair is missed only if all its shared prints are boilerplate."""
     sized = fp_df.withColumn("n", F.size("prints")).filter(F.col("n") > 0)
     exploded = sized.select("doc_id", F.explode("prints").alias("p"))
+    if max_print_df is not None:
+        hot = (
+            exploded.groupBy("p")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_print_df)
+            .select("p")
+        )
+        exploded = exploded.join(F.broadcast(hot), "p", "left_anti")
     a = exploded.select(F.col("doc_id").alias("id_a"), "p")
     b = exploded.select(F.col("doc_id").alias("id_b"), "p")
     common = (

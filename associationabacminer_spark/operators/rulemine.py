@@ -381,8 +381,11 @@ def mine_rules(
         # materialization between iterations (delete refresh=True analog)
         uncovered = uncovered.filter(~best.predicate()).localCheckpoint()
     if total_cover and uncovered.limit(1).count() > 0:
+        # bound the DISTINCT combos, not raw rows: limit-before-distinct
+        # could sample tail_rule_limit rows spanning fewer combos, pass
+        # the guard, and silently leave unsampled combos uncovered
         tail = _low_frequency_remaining_rules(
-            uncovered.limit(tail_rule_limit + 1), cols
+            uncovered.select(*cols).distinct().limit(tail_rule_limit + 1), cols
         )
         if len(tail) > tail_rule_limit:
             raise ValueError(

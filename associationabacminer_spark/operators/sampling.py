@@ -72,7 +72,13 @@ def hash_split(
     width lowercase hex compares lexicographically == numerically, so the
     same expression runs on any engine; expected test share is
     ``test_frac`` with per-row independence."""
-    threshold = format(int(test_frac * 16**8), "08x")
+    if test_frac >= 1.0:
+        return df.withColumn("split", F.lit("test"))
+    if test_frac <= 0.0:
+        return df.withColumn("split", F.lit("train"))
+    # clamp: format(16**8) would be 9 chars and break the fixed-width
+    # lexicographic comparison
+    threshold = format(min(int(test_frac * 16**8), 16**8 - 1), "08x")
     return df.withColumn(
         "split",
         F.when(

@@ -24,6 +24,24 @@ WINDOW_LINEAGE_SCHEMA = (
 )
 
 
+def salt_expr(specs, salts: int, salt_cols: list[str] | None = None):
+    """THE salt shared by the partial builds and the resume anti-join —
+    one definition so a future change cannot desynchronize them (the
+    ledger's (window, salt) keys must match what a resumed run
+    recomputes).
+
+    Default is a content hash of the spec columns: deterministic across
+    any input partitioning, which keeps merges bit-reproducible — but it
+    sends ALL copies of one hot VALUE (one user dominating a group) to a
+    single salt.  Pass ``salt_cols`` (high-cardinality columns like
+    turn_idx / ts) to spread duplicate values across salts while staying
+    deterministic; only identical FULL rows then share a salt."""
+    cols = [F.col(s.column) for s in specs]
+    if salt_cols:
+        cols += [F.col(c) for c in salt_cols]
+    return F.pmod(F.xxhash64(*cols, F.lit(0x5A17)), F.lit(salts)).cast("int")
+
+
 def windowed_sketches(
     df: DataFrame,
     specs,
@@ -31,11 +49,13 @@ def windowed_sketches(
     width: str = "3 days",
     slide: str = "1 day",
     salts: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """One row per (window, sketch): salted partial builds merged per
     window — see ``windowed_sketch_partials`` for the scale rationale."""
     return _merge_window_partials(
-        windowed_sketch_partials(df, specs, ts_col, width, slide, salts), specs
+        windowed_sketch_partials(df, specs, ts_col, width, slide, salts, salt_cols),
+        specs,
     )
 
 
@@ -46,6 +66,7 @@ def windowed_sketch_partials(
     width: str = "3 days",
     slide: str = "1 day",
     salts: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """One row per (window, salt, sketch): the window-grouped analog of
     ``build_sketches``'s partial stage.
@@ -78,9 +99,7 @@ def windowed_sketch_partials(
             cn = s.column
             exprs.setdefault(cn, F.col(cn))
         spec_cols.append(cn)
-    salt = F.pmod(
-        F.xxhash64(*[F.col(s.column) for s in specs], F.lit(0x5A17)), F.lit(salts)
-    ).cast("int")
+    salt = salt_expr(specs, salts, salt_cols)
     proj = df.select(
         F.window(ts_col, width, slide).alias("__w__"),
         salt.alias("__salt__"),
@@ -218,6 +237,7 @@ def run_windowed_with_lineage(
     width: str = "1 day",
     salts: int = 8,
     metrics_out: dict | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Resumable TUMBLING-window sketch build: (window, salt) partials
     checkpoint to a parquet ledger; a resumed run anti-joins the input
@@ -249,10 +269,7 @@ def run_windowed_with_lineage(
             "__ws__", F.window(ts_col, width)["start"]
         ).withColumn(
             "__salt__",
-            F.pmod(
-                F.xxhash64(*[F.col(s.column) for s in specs], F.lit(0x5A17)),
-                F.lit(salts),
-            ).cast("int"),
+            salt_expr(specs, salts, salt_cols),
         )
         todo = (
             keyed.join(
@@ -265,7 +282,9 @@ def run_windowed_with_lineage(
         )
 
     if todo.limit(1).count() > 0:
-        partials = windowed_sketch_partials(todo, specs, ts_col, width, width, salts)
+        partials = windowed_sketch_partials(
+            todo, specs, ts_col, width, width, salts, salt_cols
+        )
         partials, obs = observed(
             partials,
             name="windowed-lineage",
@@ -288,6 +307,7 @@ def grouped_sketch_states(
     group_col: str,
     specs,
     salts: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sketch-as-a-column: one row per (group, sketch) with the kernel's
     serialized binary state — the arbitrary-key generalization of the
@@ -315,11 +335,11 @@ def grouped_sketch_states(
             cn = s.column
             exprs.setdefault(cn, F.col(cn))
         spec_cols.append(cn)
-    salt = F.pmod(
-        F.xxhash64(*[F.col(s.column) for s in specs], F.lit(0x5A17)), F.lit(salts)
-    ).cast("int")
+    salt = salt_expr(specs, salts, salt_cols)
     proj = df.select(
-        F.col(group_col).alias("__g__"),
+        # declared output schema says string; cast so non-string group
+        # keys (bigint ids, dates) survive the Arrow conversion
+        F.col(group_col).cast("string").alias("__g__"),
         salt.alias("__salt__"),
         *[v.alias(k) for k, v in exprs.items()],
     )

@@ -126,7 +126,9 @@ class TDigest:
     # -- serde --------------------------------------------------------------
     def serialize(self) -> bytes:
         self._compress()
-        head = _MAGIC + struct.pack("<dqI", self.delta, self.n, len(self.means))
+        # n is packed as a double: fractional weights (update_weighted /
+        # weighted update_batch) legitimately produce non-integer n
+        head = _MAGIC + struct.pack("<ddI", self.delta, float(self.n), len(self.means))
         return (
             head
             + self.means.astype("<f8").tobytes()
@@ -137,9 +139,9 @@ class TDigest:
     def deserialize(data: bytes) -> "TDigest":
         if data[:4] != _MAGIC:
             raise ValueError("not a t-digest blob")
-        delta, n, c = struct.unpack("<dqI", data[4:24])
+        delta, n, c = struct.unpack("<ddI", data[4:24])
         out = TDigest(delta)
-        out.n = n
+        out.n = int(n) if n == int(n) else n
         off = 24
         out.means = np.frombuffer(data[off : off + 8 * c], dtype="<f8").astype(
             np.float64

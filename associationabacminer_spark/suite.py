@@ -78,3 +78,57 @@ def transcript_specs(bloom_capacity: int = 2_000_000) -> list[SketchSpec]:
             kernel_cls=BloomFilter,
         ),
     ]
+
+
+def sql_sketch_suite(df: DataFrame, prepared: DataFrame, warm: bool = True):
+    """The five-sketch FULL-SQL build (every kernel reduced JVM-side;
+    zero Python in the row path), shared by bench.py and
+    bench/sketch_job.py so the headline and scaling benchmarks can never
+    desynchronize.  Returns (sketches dict, seconds of the timed build).
+
+    ``warm`` pre-runs every pipeline on a 100k slice so whole-stage
+    codegen/JIT compile (a per-pipeline constant) stays out of the timed
+    section, and the t-digest latency window — the critical path — is
+    submitted first so its queueing delay is not the makespan tail."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from associationabacminer_spark.operators.sql_sketch import (
+        bloom_from_sql,
+        cms_from_sql,
+        hll_from_sql,
+        kll_from_sql,
+        tdigest_from_sql,
+    )
+
+    bloom_shape = BloomFilter.from_capacity(2_000_000, 0.01)
+    lens = df.select(F.length("text").cast("double").alias("text_len"))
+    lat = prepared.select("latency_s")
+    if warm:
+        sample = df.limit(100_000)
+        sample_prep = prepare_transcripts(sample).select("latency_s")
+        kll_from_sql(
+            sample.select(F.length("text").cast("double").alias("text_len")),
+            "text_len",
+        )
+        tdigest_from_sql(sample_prep, "latency_s", 200.0)
+        hll_from_sql(sample, "conv_id", 14)
+        cms_from_sql(sample, "tool", 4096, 5)
+        bloom_from_sql(sample, "conv_id", bloom_shape.m, bloom_shape.k)
+    t0 = _time.perf_counter()
+    with ThreadPoolExecutor(5) as pool:
+        f_td = pool.submit(tdigest_from_sql, lat, "latency_s", 200.0)
+        f_bloom = pool.submit(
+            bloom_from_sql, df, "conv_id", bloom_shape.m, bloom_shape.k
+        )
+        f_kll = pool.submit(kll_from_sql, lens, "text_len", 200)
+        f_hll = pool.submit(hll_from_sql, df, "conv_id", 14)
+        f_cms = pool.submit(cms_from_sql, df, "tool", 4096, 5)
+        sketches = {
+            "hll_conv": f_hll.result(),
+            "cms_tool": f_cms.result(),
+            "bloom_conv": f_bloom.result(),
+            "kll_len": f_kll.result(),
+            "td_latency": f_td.result(),
+        }
+    return sketches, _time.perf_counter() - t0

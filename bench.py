@@ -101,34 +101,11 @@ def main() -> None:
     timings["sketch_build_1p2M_turns"] = round(sketch_s, 3)
 
     # full-SQL build (the 100-TB physical strategy: every sketch reduced
-    # JVM-side, zero Python in the row path) — same five sketches
-    from concurrent.futures import ThreadPoolExecutor
+    # JVM-side, zero Python in the row path) — the SAME code path the
+    # scaling benchmark times (suite.sql_sketch_suite)
+    from associationabacminer_spark.suite import sql_sketch_suite
 
-    from pyspark.sql import functions as F
-
-    from associationabacminer_spark.operators.sql_sketch import (
-        bloom_from_sql,
-        cms_from_sql,
-        hll_from_sql,
-        kll_from_sql,
-        tdigest_from_sql,
-    )
-    from associationabacminer_spark.sketch import BloomFilter
-
-    bloom_shape = BloomFilter.from_capacity(2_000_000, 0.01)
-    lens = df.select(F.length("text").cast("double").alias("text_len"))
-    lat = prepared.select("latency_s")
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(5) as pool:
-        futs = [
-            pool.submit(hll_from_sql, df, "conv_id", 14),
-            pool.submit(cms_from_sql, df, "tool", 4096, 5),
-            pool.submit(bloom_from_sql, df, "conv_id", bloom_shape.m, bloom_shape.k),
-            pool.submit(kll_from_sql, lens, "text_len", 200),
-            pool.submit(tdigest_from_sql, lat, "latency_s", 200.0),
-        ]
-        [f.result() for f in futs]
-    sql_s = time.perf_counter() - t0
+    _, sql_s = sql_sketch_suite(df, prepared)
     timings["sketch_build_sql_1p2M_turns"] = round(sql_s, 3)
 
     total = round(sum(timings.values()), 3)

@@ -52,50 +52,12 @@ def main() -> None:
 
     n_rows = df.count()  # warms the file-listing/footer caches
     if args.mode == "sql":
-        # EVERY sketch reduces JVM-side in whole-stage codegen: HLL
-        # registers, CMS key counts, Bloom words, KLL from the
-        # text-length value histogram (exact multiset, weighted
-        # insertion), t-digest from the log-binned latency histogram.
-        # No mapInPandas over data at all — zero Python in the row path,
-        # no Python workers doubling the thread count.  The only wide op
-        # is the latency window's conv_h exchange (~20 B/row).
-        from concurrent.futures import ThreadPoolExecutor
+        # EVERY sketch reduces JVM-side in whole-stage codegen — shared
+        # implementation with bench.py (suite.sql_sketch_suite) so the
+        # headline and scaling benchmarks cannot desynchronize.
+        from associationabacminer_spark.suite import sql_sketch_suite
 
-        bloom_shape = BloomFilter.from_capacity(2_000_000, 0.01)
-        # window form measured faster than the collect_list hash agg for
-        # the latency gaps (7.9 s vs 12.4 s at 16 cores on 59M turns)
-        lat = prepared.select("latency_s")
-        lens = df.select(F.length("text").cast("double").alias("text_len"))
-        # warm EVERY pipeline's codegen/JIT on a small slice: whole-stage
-        # compile is a per-level constant (~0.2-0.3 s x 5 pipelines) that
-        # would otherwise sit in the serial component of the measurement
-        sample = df.limit(100_000)
-        sample_prep = prepare_transcripts(sample).select("latency_s")
-        kll_from_sql(sample.select(F.length("text").cast("double").alias("text_len")), "text_len")
-        tdigest_from_sql(sample_prep, "latency_s", 200.0)
-        hll_from_sql(sample, "conv_id", 14)
-        cms_from_sql(sample, "tool", 4096, 5)
-        bloom_from_sql(sample, "conv_id", bloom_shape.m, bloom_shape.k)
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(5) as pool:
-            # longest job first: the t-digest latency window is the
-            # critical path; starting it last adds its queueing delay to
-            # the makespan at the high parallelism level
-            f_td = pool.submit(tdigest_from_sql, lat, "latency_s", 200.0)
-            f_bloom = pool.submit(
-                bloom_from_sql, df, "conv_id", bloom_shape.m, bloom_shape.k
-            )
-            f_kll = pool.submit(kll_from_sql, lens, "text_len", 200)
-            f_hll = pool.submit(hll_from_sql, df, "conv_id", 14)
-            f_cms = pool.submit(cms_from_sql, df, "tool", 4096, 5)
-            sketches = {
-                "hll_conv": f_hll.result(),
-                "cms_tool": f_cms.result(),
-                "bloom_conv": f_bloom.result(),
-                "kll_len": f_kll.result(),
-                "td_latency": f_td.result(),
-            }
-        elapsed = time.perf_counter() - t0
+        sketches, elapsed = sql_sketch_suite(df, prepared)
     elif args.mode == "hybrid":
         # every key sketch (HLL, CMS, Bloom) reduces JVM-side in
         # whole-stage codegen; the Arrow boundary carries ONLY the two

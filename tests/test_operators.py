@@ -1442,3 +1442,69 @@ class TestMultiProbeLsh:
         rows_out = out.collect()
         pairs = [(r["query_id"], r["neighbor_id"]) for r in rows_out]
         assert len(pairs) == len(set(pairs))
+
+
+class TestReviewRegressions:
+    """Regressions for the round-2 self-review findings."""
+
+    def test_tdigest_fractional_weights_roundtrip(self):
+        from associationabacminer_spark.sketch import TDigest
+
+        t = TDigest(delta=100).update_batch(
+            np.array([1.0, 2.0, 3.0]), weights=np.array([0.5, 0.7, 0.3])
+        )
+        rt = TDigest.deserialize(t.serialize())
+        assert abs(rt.n - 1.5) < 1e-12
+        assert rt.quantile(0.5) == t.quantile(0.5)
+
+    def test_simhash_pairs_max_hamming_zero(self, spark, docs):
+        """k=0 (exact simhash match) must work — the single 64-bit block
+        needs no mask."""
+        sim = dedup.simhash64(docs, "text", "doc_id")
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in dedup.simhash_near_pairs(sim, max_hamming=0).collect()}
+        assert (2, 3) in pairs  # identical docs
+        assert all(a < b for a, b in pairs)
+
+    def test_hash_split_frac_edges(self, spark):
+        from associationabacminer_spark.operators.sampling import hash_split
+
+        df = spark.createDataFrame([(i,) for i in range(64)], "id: long")
+        all_test = hash_split(df, "id", test_frac=1.0)
+        assert all_test.filter(F.col("split") == "test").count() == 64
+        none_test = hash_split(df, "id", test_frac=0.0)
+        assert none_test.filter(F.col("split") == "test").count() == 0
+
+    def test_total_cover_bounds_distinct_combos_not_rows(self, spark):
+        """limit must apply AFTER distinct: many duplicate rows above the
+        limit must not bypass the tail guard or lose combos."""
+        from associationabacminer_spark.operators.rulemine import mine_rules
+
+        rows = [(f"t{i % 6}", f"b{(i // 6) % 3}") for i in range(600)]
+        df = spark.createDataFrame(rows, "event_type: string, bucket: string")
+        # min_support=0.9 strands everything in the tail: 6x3=18 combos
+        # over 600 rows; with a row-based limit of 20 the guard would
+        # sample 20 rows (~<18 combos) and silently under-cover
+        policy = mine_rules(
+            df, ["event_type", "bucket"], min_support=0.9,
+            total_cover=True, tail_rule_limit=20,
+        )
+        combos = {
+            (r.constraints["event_type"], r.constraints["bucket"])
+            for r in policy.rules
+        }
+        assert len(combos) == 18
+
+    def test_winnow_print_df_cap(self, spark):
+        boiler = "exactsameboilerplatecontenteverywhere" * 2
+        docs2 = spark.createDataFrame(
+            [(i, boiler) for i in range(12)]
+            + [(100, "totally unique snowflake content right here okay"),
+               (101, "totally unique snowflake content right here okay")],
+            "doc_id: long, text: string",
+        )
+        fp = dedup.winnow_fingerprints(docs2, "text", "doc_id", k=8, window=4)
+        capped = dedup.winnow_overlap_pairs(fp, 0.5, max_print_df=5)
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert (100, 101) in got  # rare pair survives
+        assert not any(a < 12 and b < 12 for a, b in got)  # boiler capped out
