@@ -1343,7 +1343,11 @@ def q54(spark, sf_dir):
             "hll_user", HyperLogLog, "user_id", kernel_cls=HyperLogLog, prehash=True
         )
     ]
-    lineage = windowed_sketches(ev, specs, "ts", "1 day", "1 day").cache()
+    # salt_cols=event_id: duplicates of a hot user still spread across
+    # salted partials (salt_expr hot-VALUE caveat)
+    lineage = windowed_sketches(
+        ev, specs, "ts", "1 day", "1 day", salt_cols=["event_id"]
+    ).cache()
     exact = {
         str(r["d"]): r["n"]
         for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))

@@ -1508,3 +1508,23 @@ class TestReviewRegressions:
         got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
         assert (100, 101) in got  # rare pair survives
         assert not any(a < 12 and b < 12 for a, b in got)  # boiler capped out
+
+
+    def test_salt_cols_spread_hot_value(self, spark):
+        """A single hot key value occupies ONE salt by default (content
+        hash) but spreads across salts with salt_cols."""
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import salt_expr
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        rows = [(7, i) for i in range(1000)]  # one hot user, distinct event ids
+        df = spark.createDataFrame(rows, "user_id: long, event_id: long")
+        specs = [SketchSpec("h", HyperLogLog, "user_id", kernel_cls=HyperLogLog)]
+        default = df.select(salt_expr(specs, 8).alias("s")).distinct().count()
+        spread = (
+            df.select(salt_expr(specs, 8, ["event_id"]).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert default == 1
+        assert spread == 8
