@@ -1,0 +1,115 @@
+"""End-to-end curation-pipeline test: the operators composed the way a
+real training-data job chains them —
+
+    exact dedup -> near-dup closure (MinHash -> components) ->
+    quality/repetition filter -> decontaminate vs a held-out set ->
+    deterministic split -> per-source quota -> sequence packing
+
+Each stage's output feeds the next; the assertions check the pipeline
+INVARIANTS (no duplicate content survives, no contaminated test doc
+survives, splits are disjoint and deterministic, packs are dense), not
+per-stage internals — those live in test_operators.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from associationabacminer_spark.operators import dedup, sampling
+from associationabacminer_spark.operators.components import assign_components
+from associationabacminer_spark.operators.decontaminate import decontaminate
+from associationabacminer_spark.operators.packing import pack_sequences, pack_stats
+from associationabacminer_spark.functions.text import quality_score, repetition_ratio
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # inject exact dups + a degenerate-repetition doc so every stage has
+    # something to remove
+    dups = base.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5_000_000
+    )
+    junk = spark.createDataFrame(
+        [(9_000_001, "spam " * 200, "en", "synthetic", 1000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return base.unionByName(dups).unionByName(junk).cache()
+
+
+class TestCurationPipeline:
+    def test_full_chain_invariants(self, spark, corpus):
+        n0 = corpus.count()
+
+        # 1. exact dedup
+        uniq = dedup.exact_dedup(corpus, "text", "doc_id")
+        assert uniq.count() < n0  # injected dups removed
+        assert (
+            uniq.groupBy(F.md5("text")).count().filter(F.col("count") > 1).count()
+            == 0
+        )
+
+        # 2. near-dup closure: MinHash-LSH pairs -> components -> keep roots
+        pairs = dedup.minhash_lsh_dedup(
+            uniq, "text", "doc_id", num_perm=32, bands=16, n=3, threshold=0.6
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        comp = assign_components(uniq, pairs, "doc_id")
+        survivors = uniq.join(
+            comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+        # 3. quality + repetition screen
+        clean = survivors.filter(
+            (repetition_ratio(F.col("text")) < 0.8)
+            & (quality_score(F.col("text")) > 0.0)
+        )
+        assert clean.filter(F.col("doc_id") == 9_000_001).count() == 0
+
+        # 4. decontaminate vs a held-out slice of itself (guaranteed hits)
+        test_set = clean.filter(F.col("doc_id") % 7 == 0)
+        train_set = clean.filter(F.col("doc_id") % 7 != 0)
+        safe_test = decontaminate(train_set, test_set, "text", "doc_id", n=5)
+        # re-running contamination against train finds nothing
+        assert (
+            decontaminate(train_set, safe_test, "text", "doc_id", n=5).count()
+            == safe_test.count()
+        )
+
+        # 5. deterministic split + per-source quota on the train side
+        split = sampling.hash_split(train_set, "doc_id", test_frac=0.1)
+        counts = dict(
+            split.groupBy("split").count().rdd.map(tuple).collect()
+        )
+        assert set(counts) <= {"train", "test"} and counts.get("train", 0) > 0
+        capped = sampling.quota_sample(
+            split.filter(F.col("split") == "train"), "source", "doc_id", 50
+        )
+        worst = (
+            capped.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert worst <= 50
+
+        # 6. sequence packing: every doc placed exactly once, offsets valid
+        packed = pack_sequences(capped, "doc_id", "text", budget=256, n_buckets=4)
+        assert packed.count() == capped.count()
+        assert packed.filter(
+            (F.col("offset") < 0) | (F.col("offset") >= 256)
+        ).count() == 0
+        stats = pack_stats(packed, budget=256)
+        # packs are dense: mean fill of non-terminal packs is high
+        assert stats.count() >= 4
+
+        # 7. rerunning the whole chain is byte-identical (determinism)
+        again = sampling.quota_sample(
+            sampling.hash_split(train_set, "doc_id", test_frac=0.1).filter(
+                F.col("split") == "train"
+            ),
+            "source",
+            "doc_id",
+            50,
+        )
+        a = sorted(r["doc_id"] for r in capped.select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in again.select("doc_id").collect())
+        assert a == b
