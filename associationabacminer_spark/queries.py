@@ -2492,3 +2492,34 @@ def q85(spark, sf_dir):
         ("view>click>purchase", p.count()),
     ]
     return spark.createDataFrame(rows, "stage string, n_users long")
+
+
+@query(
+    "q86_frame_sample",
+    """
+    WITH geo AS (
+      SELECT doc_id AS media_id,
+             strlen(text) % 640 + 16 AS width,
+             strlen(text) % 480 + 16 AS height,
+             strlen(text) % 30 + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(unnest([f FOR f IN range(0, n_frames, 5)]) AS BIGINT) AS frame_idx,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height
+    FROM geo
+    """,
+)
+def q86(spark, sf_dir):
+    """Video frame-sampling plan (multimodal): pack -> mapInPandas decode
+    -> pure-Spark frame index explosion every 5 frames."""
+    d = _t(spark, sf_dir, "documents")
+    packed = multimodal.pack_media(d, "doc_id", "text")
+    decoded = multimodal.decode_media(packed)
+    return multimodal.frame_sample(decoded, every_n=5).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
