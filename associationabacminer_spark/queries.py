@@ -2523,3 +2523,58 @@ def q86(spark, sf_dir):
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
     )
+
+
+@query(
+    "q87_cohort_retention",
+    """
+    SELECT cohort_day, age_days, COUNT(DISTINCT user_id) AS n_users FROM (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day,
+             date_diff('day',
+                       MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+                       CAST(ts AS DATE)) AS age_days
+      FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q87(spark, sf_dir):
+    """Cohort retention matrix: first-seen day per user (window min) x
+    activity age in days -> distinct active users per (cohort, age)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = F.col("ts").cast("date")
+    cohort = F.min(d).over(w)
+    return (
+        ev.select(
+            "user_id",
+            cohort.alias("cohort_day"),
+            F.datediff(d, cohort).cast("bigint").alias("age_days"),
+        )
+        .groupBy("cohort_day", "age_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q88_embedding_stats",
+    """
+    SELECT label,
+           ROUND(AVG(CAST(list_max(embedding) AS DOUBLE)), 6) AS avg_max,
+           ROUND(STDDEV_POP(CAST(list_max(embedding) AS DOUBLE)), 6) AS std_max,
+           ROUND(AVG(CAST(list_min(embedding) AS DOUBLE)), 6) AS avg_min
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q88(spark, sf_dir):
+    """Per-label embedding-element distribution stats (array_max/min in
+    whole-stage codegen) — the cheap drift/sanity monitor for an
+    embedding column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mx = F.array_max("embedding").cast("double")
+    mn = F.array_min("embedding").cast("double")
+    return emb.groupBy("label").agg(
+        F.round(F.avg(mx), 6).alias("avg_max"),
+        F.round(F.stddev_pop(mx), 6).alias("std_max"),
+        F.round(F.avg(mn), 6).alias("avg_min"),
+    )
