@@ -241,3 +241,21 @@ class TestScalePlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "cluster" in plan
+
+    def test_round2b_queries_no_cartesian_or_python(self, spark):
+        """q77 packing, q81/q82 quantiles, q84/q85 analytics, q87/q88:
+        JVM-only, equi-join/window shaped."""
+        for name in (
+            "q77_sequence_packing",
+            "q78_repetition_filter",
+            "q81_group_quantiles",
+            "q82_latency_quantiles",
+            "q84_event_bigrams",
+            "q85_funnel_stages",
+            "q87_cohort_retention",
+            "q88_embedding_stats",
+        ):
+            plan = plan_of(Q.QUERIES[name](spark, SF))
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoop" not in plan, name
+            assert "EvalPython" not in plan, name
