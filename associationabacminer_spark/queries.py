@@ -2578,3 +2578,54 @@ def q88(spark, sf_dir):
         F.round(F.stddev_pop(mx), 6).alias("std_max"),
         F.round(F.avg(mn), 6).alias("avg_min"),
     )
+
+
+@query(
+    "q89_session_stats",
+    """
+    WITH sess AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_s
+      FROM (
+        SELECT user_id, ts,
+               SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (SELECT user_id, ts, event_id,
+                     epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events))
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(n_events), 6) AS avg_events,
+           ROUND(AVG(duration_s), 6) AS avg_duration_s,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM sess
+    """,
+)
+def q89(spark, sf_dir):
+    """Session-level statistics on top of q16's sessionization: events
+    and wall duration per (user, session), aggregated corpus-wide."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w)
+    sess_id = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per_sess = (
+        ev.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (_epoch_s(F.max("ts")) - _epoch_s(F.min("ts"))).alias("duration_s"),
+        )
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+        F.max("n_events").alias("max_events"),
+    )
