@@ -612,3 +612,41 @@ class TestRangeSortedLayout:
              if hi_a > lo_b
         )
         assert overlaps > 0
+
+    def test_bottomk_and_cms_through_grouped_states(self, spark):
+        """Kernel generality: grouped_sketch_states works for ANY kernel
+        implementing the lifecycle — bottom-k distinct samples and CMS
+        counts per group, states deserializable and within bounds."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import (
+            grouped_sketch_states,
+        )
+        from associationabacminer_spark.sketch import BottomK, CountMinSketch
+        from associationabacminer_spark.sketch.xxhash import xxh64_keys
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        specs = [
+            SketchSpec("btk_user", lambda: BottomK(k=32), "user_id",
+                       kernel_cls=BottomK, prehash=True),
+            SketchSpec("cms_type", lambda: CountMinSketch(width=1024, depth=4),
+                       "event_type", kernel_cls=CountMinSketch, prehash=True),
+        ]
+        states = grouped_sketch_states(ev, "event_type", specs, salts=4)
+        rows = states.collect()
+        by = {(r["group"], r["sketch_name"]): r for r in rows}
+        for et in ("view", "click"):
+            exact = (
+                ev.filter(F.col("event_type") == et)
+                .select("user_id").distinct().count()
+            )
+            b = BottomK.deserialize(bytes(by[(et, "btk_user")]["sketch"]))
+            est = b.estimate_distinct()
+            assert abs(est - exact) / max(exact, 1) < 5 * b.relative_error()
+            c = CountMinSketch.deserialize(bytes(by[(et, "cms_type")]["sketch"]))
+            n = ev.filter(F.col("event_type") == et).count()
+            probe = xxh64_keys(np.array([et], dtype=object))
+            got = int(c.query(probe, prehashed=True)[0])
+            assert got >= n  # CMS overestimates only
