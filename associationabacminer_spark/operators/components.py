@@ -120,3 +120,15 @@ def assign_components(
             F.coalesce("component", "node").alias("component"),
         )
     )
+
+
+def near_dedup_keep_roots(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Rows of ``df`` surviving near-dup closure: transitively close the
+    candidate ``pairs`` (columns src, dst) and keep one representative —
+    the minimum id — per duplicate group.  The shared keep-the-roots
+    idiom used by the curation job, the e2e test, and COOKBOOK recipe 1."""
+    comp = assign_components(df, pairs, id_col)
+    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

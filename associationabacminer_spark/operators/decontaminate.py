@@ -79,3 +79,19 @@ def decontaminate(
     """Test rows with NO long-n-gram overlap against train."""
     hits = contaminated_ids(train, test, text_col, id_col, n, max_shingle_df)
     return test.join(hits, id_col, "left_anti")
+
+
+def decontaminate_train(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The GPT-3 direction: TRAIN rows with no long-n-gram overlap
+    against the evaluation set (the reference-shingle side here is
+    ``eval_set``).  Provided because ``decontaminate(a, b)`` filters its
+    SECOND argument — call-site argument swaps are silent and this
+    wrapper makes the common intent unmistakable."""
+    return decontaminate(eval_set, train, text_col, id_col, n, max_shingle_df)

@@ -43,49 +43,52 @@ def main() -> None:
 
     from associationabacminer_spark.functions.text import repetition_ratio
     from associationabacminer_spark.operators import dedup, sampling
-    from associationabacminer_spark.operators.components import assign_components
-    from associationabacminer_spark.operators.decontaminate import decontaminate
+    from associationabacminer_spark.operators.components import (
+        near_dedup_keep_roots,
+    )
+    from associationabacminer_spark.operators.decontaminate import (
+        decontaminate_train,
+    )
     from associationabacminer_spark.operators.packing import pack_sequences
 
     docs = spark.read.parquet(args.docs)
     stages = {"input": docs.count()}
 
-    uniq = dedup.exact_dedup(docs, "text", "doc_id")
+    uniq = dedup.exact_dedup(docs, "text", "doc_id").cache()
     stages["after_exact_dedup"] = uniq.count()
 
     pairs = dedup.minhash_lsh_dedup(
         uniq, "text", "doc_id", num_perm=64, bands=16,
         threshold=args.near_dup_threshold,
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = assign_components(uniq, pairs, "doc_id")
-    kept = uniq.join(
-        comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # cache each audit point: every stage count is an action, and the
+    # optional writes re-consume the final frames
+    clean = (
+        near_dedup_keep_roots(uniq, pairs, "doc_id")
+        .filter(repetition_ratio(F.col("text")) < args.max_repetition)
+        .cache()
     )
-    stages["after_near_dedup"] = kept.count()
-
-    clean = kept.filter(repetition_ratio(F.col("text")) < args.max_repetition)
-    stages["after_quality"] = clean.count()
+    stages["after_near_dedup_and_quality"] = clean.count()
 
     heldout = clean.filter(F.col("doc_id") % 7 == 0)
     pool = clean.filter(F.col("doc_id") % 7 != 0)
-    train_pool = decontaminate(
+    # GPT-3 direction: drop POOL docs overlapping the held-out set
+    pool_clean = decontaminate_train(
         pool, heldout, "text", "doc_id", n=args.decontam_ngram
-    )
+    ).cache()
     stages["heldout"] = heldout.count()
-    stages["heldout_clean"] = train_pool.count()
+    stages["pool_after_decontamination"] = pool_clean.count()
 
-    split = sampling.hash_split(pool, "doc_id", test_frac=args.test_frac)
+    split = sampling.hash_split(pool_clean, "doc_id", test_frac=args.test_frac)
     train = split.filter(F.col("split") == "train")
     capped = sampling.quota_sample(
         train, "source", "doc_id", args.quota_per_source, pre_buckets=16
-    )
+    ).cache()
     stages["train_after_quota"] = capped.count()
 
     packed = pack_sequences(
         capped, "doc_id", "text", budget=args.pack_budget, n_buckets=16
-    )
+    ).cache()
     stages["packs"] = packed.select("pack_id").distinct().count()
 
     if args.out:

@@ -16,7 +16,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from associationabacminer_spark.operators import dedup, sampling
-from associationabacminer_spark.operators.components import assign_components
+from associationabacminer_spark.operators.components import (
+    assign_components,
+    near_dedup_keep_roots,
+)
 from associationabacminer_spark.operators.decontaminate import decontaminate
 from associationabacminer_spark.operators.packing import pack_sequences, pack_stats
 from associationabacminer_spark.functions.text import quality_score, repetition_ratio
@@ -53,12 +56,7 @@ class TestCurationPipeline:
         pairs = dedup.minhash_lsh_dedup(
             uniq, "text", "doc_id", num_perm=32, bands=16, n=3, threshold=0.6
         ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        comp = assign_components(uniq, pairs, "doc_id")
-        survivors = uniq.join(
-            comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        )
+        survivors = near_dedup_keep_roots(uniq, pairs, "doc_id")
 
         # 3. quality + repetition screen
         clean = survivors.filter(
@@ -98,8 +96,18 @@ class TestCurationPipeline:
             (F.col("offset") < 0) | (F.col("offset") >= 256)
         ).count() == 0
         stats = pack_stats(packed, budget=256)
-        # packs are dense: mean fill of non-terminal packs is high
         assert stats.count() >= 4
+        # packs are dense: the concat-split stream has no gaps, so every
+        # shard's mean used_tokens per pack must be >= the budget except
+        # for one terminal (partial) pack per shard
+        per_shard = (
+            stats.withColumn("shard", F.col("pack_id") / 1_000_000_000)
+            .groupBy(F.floor("shard").alias("s"))
+            .agg(F.sum("used_tokens").alias("tok"), F.count("*").alias("np"))
+            .collect()
+        )
+        for r in per_shard:
+            assert r["tok"] >= (r["np"] - 1) * 256, dict(r.asDict())
 
         # 7. rerunning the whole chain is byte-identical (determinism)
         again = sampling.quota_sample(
