@@ -2629,3 +2629,119 @@ def q89(spark, sf_dir):
         F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
         F.max("n_events").alias("max_events"),
     )
+
+
+@query(
+    "q90_pearson_matrix",
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+           ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
+    FROM lineitem
+    """,
+)
+def q90(spark, sf_dir):
+    """Pairwise Pearson correlations (E4,
+    /root/reference/src/FeatureSelector.py:261-319) as pure Catalyst
+    aggregates: one single-pass agg, k*(k-1)/2 co-moment states, no ML
+    VectorAssembler / driver matrix — the oracled anchor for
+    stats.pearson_correlation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+    )
+
+
+@query(
+    "q91_dominant_value_share",
+    """
+    WITH s AS (
+      SELECT 'l_returnflag' AS col_name, l_returnflag AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus' AS col_name, l_linestatus AS value FROM lineitem
+    ), c AS (
+      SELECT col_name, value, COUNT(*) AS cnt FROM s GROUP BY 1, 2
+    )
+    SELECT col_name,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS top_share,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM c
+    GROUP BY 1
+    """,
+)
+def q91(spark, sf_dir):
+    """Dominant-value share per column (E1 variance-threshold analog,
+    /root/reference/src/TableCreator.py:124-128): melt the column set with
+    stack() so ALL columns are screened in one shuffle instead of one
+    collect per column — the distributed anchor for
+    stats.low_variance_columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(2, 'l_returnflag', l_returnflag,"
+            " 'l_linestatus', l_linestatus) AS (col_name, value)"
+        )
+    )
+    counts = stacked.groupBy("col_name", "value").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("col_name").agg(
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("top_share"),
+        F.count("*").alias("n_distinct"),
+    )
+
+
+# M5 ROC/AUC (reference /root/reference/src/job/AUCPrinter.py:22-37):
+# the same ANSI text runs on Spark (via register_views + spark.sql) and
+# DuckDB — threshold-grouped cumulative TPR/FPR plus a trapezoid fold,
+# entirely window functions, no driver-side point list.  Scores are
+# quantized to whole-currency thresholds (the binned-ROC trick Spark
+# ML's BinaryClassificationMetrics applies via numBins) so the two
+# global-order windows run over a threshold table bounded by the score
+# RANGE, never one row per raw score — a near-unique double score would
+# otherwise funnel ~n rows through a single-partition sort at scale.
+_ROC_AUC_SQL = """
+    WITH pts AS (
+      SELECT ROUND(o_totalprice, 0) AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), agg AS (
+      SELECT score, SUM(y) AS tp_at, COUNT(*) - SUM(y) AS fp_at
+      FROM pts GROUP BY score
+    ), tot AS (
+      SELECT SUM(y) AS p, COUNT(*) - SUM(y) AS n FROM pts
+    ), cum AS (
+      SELECT score,
+             SUM(tp_at) OVER (ORDER BY score DESC) AS tp,
+             SUM(fp_at) OVER (ORDER BY score DESC) AS fp
+      FROM agg
+    ), roc AS (
+      SELECT CAST(tp AS DOUBLE) / p AS tpr,
+             CAST(fp AS DOUBLE) / n AS fpr,
+             LAG(CAST(tp AS DOUBLE) / p, 1, 0.0)
+               OVER (ORDER BY score DESC) AS ptpr,
+             LAG(CAST(fp AS DOUBLE) / n, 1, 0.0)
+               OVER (ORDER BY score DESC) AS pfpr
+      FROM cum, tot
+    )
+    SELECT ROUND(SUM((fpr - pfpr) * (tpr + ptpr) / 2.0), 6) AS auc,
+           CAST(COUNT(*) AS BIGINT) AS n_thresholds
+    FROM roc
+"""
+
+
+@query("q92_roc_auc", _ROC_AUC_SQL)
+def q92(spark, sf_dir):
+    """Distributed ROC AUC (M5): label = order finished, score =
+    o_totalprice quantized to whole-currency thresholds.  Identical
+    query text on both engines (the q81/q82 pattern); Spark plans the
+    two global-order windows as single-partition sorts over the bounded
+    per-threshold aggregate (cardinality = score range, independent of
+    row count), never the raw rows."""
+    from associationabacminer_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ROC_AUC_SQL)

@@ -1528,3 +1528,49 @@ class TestReviewRegressions:
         )
         assert default == 1
         assert spread == 8
+
+
+class TestRocAucParity:
+    def test_q92_sql_equals_trapezoid(self, spark):
+        """The distributed window-function AUC (q92) must equal the
+        reference-parity driver-side trapezoid (auc_from_points, M5,
+        /root/reference/src/job/AUCPrinter.py:22-37) on the same ROC
+        points."""
+        import duckdb
+
+        from associationabacminer_spark.operators.rulemine import auc_from_points
+        from associationabacminer_spark.queries import QUERIES
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = QUERIES["q92_roc_auc"](spark, sf_dir).collect()[0]["auc"]
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+        )
+        pts = con.execute(
+            """
+            WITH pts AS (
+              SELECT ROUND(o_totalprice, 0) AS score,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders
+            ), agg AS (
+              SELECT score, SUM(y) AS tp_at, COUNT(*) - SUM(y) AS fp_at
+              FROM pts GROUP BY score
+            ), tot AS (
+              SELECT SUM(y) AS p, COUNT(*) - SUM(y) AS n FROM pts
+            ), cum AS (
+              SELECT score,
+                     SUM(tp_at) OVER (ORDER BY score DESC) AS tp,
+                     SUM(fp_at) OVER (ORDER BY score DESC) AS fp
+              FROM agg
+            )
+            SELECT CAST(fp AS DOUBLE) / n AS fpr,
+                   CAST(tp AS DOUBLE) / p AS tpr
+            FROM cum, tot ORDER BY score DESC
+            """
+        ).fetchall()
+        con.close()
+        fpr = [0.0] + [r[0] for r in pts]
+        tpr = [0.0] + [r[1] for r in pts]
+        assert abs(got - auc_from_points(fpr, tpr)) <= 1e-6
