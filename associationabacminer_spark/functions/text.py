@@ -118,3 +118,19 @@ def repetition_ratio(text: Column | str) -> Column:
     return F.when(t == "", F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
     )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """PII scrub for web-corpus curation: replace emails then IPv4
+    literals with typed placeholder tokens.  Pure chained
+    regexp_replace — whole-stage codegen, no UDF — and the patterns are
+    deliberately restricted to the Java-regex/RE2 common subset so the
+    exact same strings drive the DuckDB oracle (q93).  Email runs first
+    so an address's dotted domain is never half-eaten by the IP rule."""
+    t = text if isinstance(text, Column) else F.col(text)
+    t = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, PII_IPV4_RE, "<IP>")

@@ -86,3 +86,37 @@ def hash_split(
             F.lit("test"),
         ).otherwise(F.lit("train")),
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    seed: str = "seed42",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training order:
+    shard = prefix of md5(seed || id), position = rank of the full md5
+    key within the shard.  Rerunning on the same input reproduces the
+    exact global sample order (resume-safe epochs); changing ``seed``
+    is a fresh permutation.  One shuffle on the shard key; each
+    shard's sort is 1/n_shards of the data, so the plan scales by
+    adding shards, never by sorting the corpus globally.  For the
+    hex-nibble fast path (n_shards == 16) the shard key is the first
+    md5 hex char — portable to any engine; other widths derive the
+    shard from the first 8 hex chars mod n_shards."""
+    k = _hash_key(id_col, seed + ":")
+    if n_shards == 16:
+        shard = F.substring(k, 1, 1)
+    else:
+        shard = (F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % n_shards).cast(
+            "string"
+        )
+    w = Window.partitionBy(shard_col).orderBy("__shuffle_key__")
+    return (
+        df.withColumn("__shuffle_key__", k)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__shuffle_key__")
+    )

@@ -2745,3 +2745,75 @@ def q92(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_ROC_AUC_SQL)
+
+
+@query(
+    "q93_pii_redaction",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS text
+      FROM aug
+    )
+    SELECT doc_id, md5(text) AS redacted_md5
+    FROM red
+    """,
+)
+def q93(spark, sf_dir):
+    """PII redaction screen (beyond-reference curation staple): append a
+    synthetic email + IPv4 to every document (both engines build the
+    identical augmented text from doc_id, so the scrub is actually
+    exercised on every row), redact with text.redact_pii, and return the
+    per-row md5 of the redacted text — the strongest possible
+    cross-engine equality check on the regex semantics."""
+    doc = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return doc.select(
+        "doc_id", F.md5(TX.redact_pii(aug)).alias("redacted_md5")
+    )
+
+
+@query(
+    "q94_shuffle_shard",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           substring(k, 1, 1) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY substring(k, 1, 1) ORDER BY k
+           ) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q94(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding (beyond-reference
+    training-order staple, operators/sampling.shuffle_shard): md5-keyed
+    shard + within-shard position, reproducible across reruns and
+    engines.  Row-level oracle: every (doc_id, shard, pos) must match."""
+    from associationabacminer_spark.operators.sampling import shuffle_shard
+
+    doc = _t(spark, sf_dir, "documents")
+    return shuffle_shard(doc, "doc_id", n_shards=16).select(
+        "doc_id", "shard", "pos"
+    )

@@ -1574,3 +1574,48 @@ class TestRocAucParity:
         fpr = [0.0] + [r[0] for r in pts]
         tpr = [0.0] + [r[1] for r in pts]
         assert abs(got - auc_from_points(fpr, tpr)) <= 1e-6
+
+
+class TestPiiAndShuffleShard:
+    def test_redact_pii_fixtures(self, spark):
+        from associationabacminer_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                ("mail bob.smith+x@sub.example.co.uk now", "mail <EMAIL> now"),
+                ("from 192.168.1.254 port", "from <IP> port"),
+                ("a@b.io and 10.0.0.1 both", "<EMAIL> and <IP> both"),
+                ("no pii here", "no pii here"),
+            ],
+            "text string, expect string",
+        )
+        out = df.select(redact_pii("text").alias("got"), "expect").collect()
+        for r in out:
+            assert r["got"] == r["expect"]
+
+    def test_shuffle_shard_reproducible_and_balanced(self, spark):
+        from associationabacminer_spark.operators.sampling import shuffle_shard
+
+        df = spark.createDataFrame([(i,) for i in range(4096)], "id: long")
+        a = sorted(map(tuple, shuffle_shard(df, "id").collect()))
+        b = sorted(map(tuple, shuffle_shard(df, "id").collect()))
+        assert a == b  # byte-identical rerun
+        c = sorted(map(tuple, shuffle_shard(df, "id", seed="other").collect()))
+        assert a != c  # seed changes the permutation
+        by_shard = {}
+        for _, shard, pos in a:
+            by_shard.setdefault(shard, []).append(pos)
+        assert len(by_shard) == 16
+        # positions are a contiguous 1..n ranking within every shard
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+            # no shard hogs the corpus (uniform md5 nibble)
+            assert len(poss) < 2 * 4096 / 16
+
+    def test_shuffle_shard_general_width(self, spark):
+        from associationabacminer_spark.operators.sampling import shuffle_shard
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "id: long")
+        out = shuffle_shard(df, "id", n_shards=7).collect()
+        shards = {r["shard"] for r in out}
+        assert shards == {str(i) for i in range(7)}
