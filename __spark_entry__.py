@@ -27,11 +27,11 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     parts = [
         Q.QUERIES["q53_transcript_flagship"](spark, sf_dir),
-        Q.QUERIES["q38_hll_distinct"](spark, sf_dir),
-        Q.QUERIES["q39_cms_heavy_hitters"](spark, sf_dir),
-        Q.QUERIES["q40_kll_quantiles"](spark, sf_dir),
-        Q.QUERIES["q41_tdigest_latency"](spark, sf_dir),
-        Q.QUERIES["q42_bloom_membership"](spark, sf_dir),
+        Q.QUERIES["s38_hll_distinct"](spark, sf_dir),
+        Q.QUERIES["s39_cms_heavy_hitters"](spark, sf_dir),
+        Q.QUERIES["s40_kll_quantiles"](spark, sf_dir),
+        Q.QUERIES["s41_tdigest_latency"](spark, sf_dir),
+        Q.QUERIES["s42_bloom_membership"](spark, sf_dir),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -34,20 +34,20 @@ HEADLINE = [
     "q34_lang_guess",
     "q35_cosine_topk",
     "q37_multimodal_decode",
-    "q38_hll_distinct",
-    "q40_kll_quantiles",
-    "q43_minhash_lsh_pairs",
+    "s38_hll_distinct",
+    "s40_kll_quantiles",
+    "s43_minhash_lsh_pairs",
     "q47_crosstab",
-    "q51_asof_join",
+    "q38_asof_join",
     # round 2: banded near-dup, UA binning, 13-metric suite, salted as-of
     "q36_embedding_neardup",
     "q57_agent_bin",
     "q61_metric_suite",
     "q64_asof_join_salted",
     # round 2b: dup-group closure, corpus tf-idf, decontamination
-    "q67_dup_components",
+    "q39_dup_components",
     "q71_tfidf_top_terms",
-    "q75_decontamination",
+    "q42_decontamination",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

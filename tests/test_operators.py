@@ -1542,7 +1542,7 @@ class TestRocAucParity:
         from associationabacminer_spark.queries import QUERIES
 
         sf_dir = "/root/testdata/sf0.001"
-        got = QUERIES["q92_roc_auc"](spark, sf_dir).collect()[0]["auc"]
+        got = QUERIES["q44_roc_auc"](spark, sf_dir).collect()[0]["auc"]
 
         con = duckdb.connect()
         con.execute(

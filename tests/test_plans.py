@@ -209,12 +209,12 @@ class TestScalePlans:
         sampling: all candidate generation is equi-join/window shaped and
         JVM-side end to end."""
         for name in (
-            "q67_dup_components",
+            "q39_dup_components",
             "q68_laplacian_score",
             "q69_variance_ranking",
             "q71_tfidf_top_terms",
-            "q72_quota_sample",
-            "q73_hash_split",
+            "q40_quota_sample",
+            "q41_hash_split",
         ):
             plan = plan_of(Q.QUERIES[name](spark, SF))
             assert "CartesianProduct" not in plan, name
@@ -246,7 +246,7 @@ class TestScalePlans:
         """q77 packing, q81/q82 quantiles, q84/q85 analytics, q87/q88:
         JVM-only, equi-join/window shaped."""
         for name in (
-            "q77_sequence_packing",
+            "q43_sequence_packing",
             "q78_repetition_filter",
             "q81_group_quantiles",
             "q82_latency_quantiles",
