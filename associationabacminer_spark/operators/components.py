@@ -88,16 +88,26 @@ def connected_components(
     e = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         nxt = _canonical(_small_star(_large_star(e))).localCheckpoint()
         # star forest test: no parent (dst) is itself a child (src)
         unstable = nxt.join(
             nxt.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
         )
-        if unstable.isEmpty():
-            e = nxt
-            break
         e = nxt
+        if unstable.isEmpty():
+            converged = True
+            break
+    if not converged:
+        # downstream dedup (near_dedup_keep_roots / semdedup) would keep
+        # wrong representatives on a partial closure — fail loudly, the
+        # same posture as rulemine's tail_rule_limit guard
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds={max_rounds} "
+            "alternating large-star/small-star rounds; raise max_rounds "
+            "(O(log^2 n) rounds suffice for n nodes)"
+        )
     return e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
 
 

@@ -355,10 +355,13 @@ def winnow_overlap_pairs(
     ``max_print_df`` caps the join fan-out the same way
     ``ngram_jaccard_pairs``'s shingle cap does: a boilerplate print
     shared by 10^6 docs otherwise emits ~10^12 candidate rows.  Capped
-    prints are excluded from BOTH the join and the overlap numerator, so
+    prints are excluded from the join, the overlap numerator, AND the
+    per-doc denominators (counts are recomputed after the exclusion), so
+    the coefficient is the true overlap over non-boilerplate prints and
     a pair is missed only if all its shared prints are boilerplate."""
-    sized = fp_df.withColumn("n", F.size("prints")).filter(F.col("n") > 0)
-    exploded = sized.select("doc_id", F.explode("prints").alias("p"))
+    exploded = fp_df.filter(F.size("prints") > 0).select(
+        "doc_id", F.explode("prints").alias("p")
+    )
     if max_print_df is not None:
         hot = (
             exploded.groupBy("p")
@@ -375,6 +378,8 @@ def winnow_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
+    # denominators over the SAME post-exclusion print sets as the numerator
+    sized = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
     na = sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     nb = sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (

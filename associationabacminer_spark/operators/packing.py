@@ -31,16 +31,27 @@ def pack_sequences(
     text_col: str,
     budget: int = 2048,
     n_buckets: int = 64,
+    shard_expr=None,
 ) -> DataFrame:
     """(id, n_tokens, pack_id, offset): each document's position in the
     concatenated fixed-``budget`` token stream of its shard.  A document
     may straddle a pack boundary (concat-split semantics: ``offset`` +
     ``n_tokens`` can exceed ``budget``); ``pack_id`` is where it starts.
+
+    ``shard_expr`` (a Column over ``df``'s columns) overrides the shard
+    derivation; the default pmod-of-xxhash64 is valid for ANY id type and
+    sign (bare ``id % n`` fails on strings and goes negative in Spark for
+    negative ids, corrupting the shard*stride+chunk pack_id encoding).
+    Pass e.g. ``F.pmod(F.col(id), n)`` when a SQL-portable shard is
+    needed (the q43 oracle does).
     """
+    if shard_expr is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
     toks = df.select(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
-    ).withColumn("shard", F.col("id") % n_buckets)
+        shard_expr.cast("bigint").alias("shard"),
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy("id")

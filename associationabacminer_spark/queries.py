@@ -2267,7 +2267,14 @@ def q77(spark, sf_dir):
     from associationabacminer_spark.operators.packing import pack_sequences
 
     return pack_sequences(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", budget=512, n_buckets=64
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        budget=512,
+        n_buckets=64,
+        # SQL-portable shard (doc_id is non-negative bigint) so the DuckDB
+        # oracle can mirror it; the library default is pmod(xxhash64(id))
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(64)),
     )
 
 

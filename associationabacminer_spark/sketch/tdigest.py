@@ -20,7 +20,12 @@ import struct
 
 import numpy as np
 
-_MAGIC = b"TDG1"
+# v2 packs n as a double (fractional weights are legal); v1 packed it as
+# int64.  The magic was bumped when the layout changed so stale persisted
+# state (lineage ledgers, grouped_sketch_states tables) fails loudly or
+# decodes via the legacy branch instead of silently misreading n.
+_MAGIC = b"TDG2"
+_MAGIC_V1 = b"TDG1"
 _BUFFER_CAP = 8192
 
 
@@ -137,9 +142,14 @@ class TDigest:
 
     @staticmethod
     def deserialize(data: bytes) -> "TDigest":
-        if data[:4] != _MAGIC:
+        magic = data[:4]
+        if magic == _MAGIC:
+            delta, n, c = struct.unpack("<ddI", data[4:24])
+        elif magic == _MAGIC_V1:
+            # legacy layout: n packed as int64
+            delta, n, c = struct.unpack("<dqI", data[4:24])
+        else:
             raise ValueError("not a t-digest blob")
-        delta, n, c = struct.unpack("<ddI", data[4:24])
         out = TDigest(delta)
         out.n = int(n) if n == int(n) else n
         off = 24

@@ -1619,3 +1619,47 @@ class TestPiiAndShuffleShard:
         out = shuffle_shard(df, "id", n_shards=7).collect()
         shards = {r["shard"] for r in out}
         assert shards == {str(i) for i in range(7)}
+
+
+class TestAdviceRegressions:
+    """Round-3 ADVICE fixes (components convergence, winnow denominator,
+    packing shard derivation)."""
+
+    def test_components_raises_when_rounds_exhausted(self, spark):
+        from associationabacminer_spark.operators.components import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_rounds=0)
+
+    def test_winnow_overlap_denominator_post_exclusion(self, spark):
+        """With a DF cap, the overlap coefficient must be computed over
+        the post-exclusion print sets: two docs whose only non-boilerplate
+        prints coincide score 1.0, not 2/num_total_prints."""
+        rows = [(i, [999]) for i in range(12)]  # 999 is boilerplate (df=14)
+        rows += [(100, [999, 1, 2]), (101, [999, 1, 2])]
+        fp = spark.createDataFrame(rows, "doc_id: long, prints: array<long>")
+        out = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in dedup.winnow_overlap_pairs(fp, 0.9, max_print_df=5).collect()
+        }
+        assert out.get((100, 101)) == 1.0
+
+    def test_packing_default_shard_handles_string_and_negative_ids(self, spark):
+        from associationabacminer_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [("a", "one two three"), ("b", "four five"), ("c", "six")],
+            "doc_id: string, text: string",
+        )
+        out = pack_sequences(df, "doc_id", "text", budget=4, n_buckets=8).collect()
+        assert len(out) == 3 and all(r["pack_id"] >= 0 for r in out)
+
+        neg = spark.createDataFrame(
+            [(-5, "one two"), (-6, "three four"), (7, "five")],
+            "doc_id: long, text: string",
+        )
+        outn = pack_sequences(neg, "doc_id", "text", budget=4, n_buckets=8).collect()
+        assert all(r["pack_id"] >= 0 and r["offset"] >= 0 for r in outn)

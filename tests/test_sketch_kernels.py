@@ -436,3 +436,55 @@ class TestHllSetAlgebra:
         # 100k union (1.04/128 ≈ 0.81% -> ±2430 on the union)
         assert abs(inter - 20000) < 3 * 3 * 1.04 / 128 * 100000
         assert abs(diff - 40000) < 3 * 3 * 1.04 / 128 * 100000
+
+
+class TestSerdeCompat:
+    """Round-3 ADVICE regressions: layout changes must not silently
+    misread persisted state (lineage ledgers, grouped_sketch_states)."""
+
+    def test_tdigest_v1_blob_decodes_via_legacy_layout(self):
+        import struct
+
+        import numpy as np
+
+        from associationabacminer_spark.sketch.tdigest import TDigest
+
+        means = np.array([1.0, 2.0, 3.0])
+        weights = np.array([400.0, 300.0, 300.0])
+        # v1 layout: magic TDG1, n packed as int64 ('<dqI')
+        blob = (
+            b"TDG1"
+            + struct.pack("<dqI", 200.0, 1000, 3)
+            + means.astype("<f8").tobytes()
+            + weights.astype("<f8").tobytes()
+        )
+        td = TDigest.deserialize(blob)
+        assert td.n == 1000  # NOT ~5e-321 (the int64 bits read as double)
+        assert abs(td.quantile(0.5) - 2.0) < 1.0
+
+    def test_tdigest_v2_magic_and_roundtrip(self):
+        import numpy as np
+
+        from associationabacminer_spark.sketch.tdigest import TDigest
+
+        td = TDigest(delta=100).update_batch(np.arange(5000, dtype=float))
+        blob = td.serialize()
+        assert blob[:4] == b"TDG2"
+        rt = TDigest.deserialize(blob)
+        assert rt.n == td.n and rt.quantile(0.5) == td.quantile(0.5)
+
+    def test_bottomk_int64_min_payload_survives(self):
+        import numpy as np
+
+        from associationabacminer_spark.sketch import BottomK
+
+        lo = -(2**63)
+        s = BottomK(k=16).update_batch(
+            np.array([lo, 1, 2], dtype=np.int64), prehashed=True
+        )
+        assert lo in set(int(x) for x in s.sample())
+        rt = BottomK.deserialize(s.serialize())
+        assert lo in set(int(x) for x in rt.sample())
+        # hashes-only entries still excluded from the sample
+        t = BottomK(k=16).update_hashes(np.array([5, 6], dtype=np.uint64))
+        assert len(t.sample()) == 0 and len(t.hashes) == 2
