@@ -53,22 +53,63 @@ def semdedup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, cos) semantic-duplicate pairs within clusters
-    (id_a < id_b, cos >= threshold)."""
-    a = clustered.select(
-        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = clustered.select(
-        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    return (
+    (id_a < id_b, cos >= threshold).
+
+    ``collapse_identical`` (default on) is the hot-cluster guard: the
+    degenerate cluster a dup-heavy corpus actually produces is "most
+    rows are byte-identical embeddings", and byte-identical vectors in
+    one cluster would otherwise emit c^2 pairs in a single task.  With
+    the guard, rows are first grouped by the exact vector value (an
+    equi-groupBy, no hashing collision risk), each identical group links
+    to its min-id representative with linear star edges (cos exactly
+    1.0 >= any threshold), and the quadratic pair join runs over the
+    DISTINCT vectors only.  Transitive closure through the
+    representative reaches every pair the all-pairs join would have
+    found, so downstream components/survivors are unchanged.  Clusters
+    that are hot with genuinely distinct near-dup vectors remain the
+    documented n_clusters cost dial."""
+    if collapse_identical:
+        reps = clustered.groupBy("cluster", vec_col).agg(
+            F.min(id_col).alias("_rep")
+        )
+        withrep = clustered.join(reps, ["cluster", vec_col])
+        # rep is the group min, so rep < member for every non-rep member
+        star = (
+            withrep.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("cos"),
+            )
+        )
+        distinct_rows = reps.select(
+            "cluster", F.col("_rep").alias(id_col), F.col(vec_col)
+        )
+        a = distinct_rows.select(
+            "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = distinct_rows.select(
+            "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+    else:
+        star = None
+        a = clustered.select(
+            "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = clustered.select(
+            "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+    pairs = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+    return pairs if star is None else pairs.unionByName(star)
 
 
 def semdedup(

@@ -184,12 +184,20 @@ def train_ivf_centroids(
     centroid-by-dot equals nearest-by-cosine.  The sample bound makes
     training O(sample x k x iters) on the driver regardless of corpus
     size — the centroids are a tiny (k x d) model shipped back into the
-    plan as literals."""
-    rows = (
-        df.select(vec_col).limit(sample_rows).collect()
-        if sample_rows
-        else df.select(vec_col).collect()
-    )
+    plan as literals.
+
+    The sample is taken in content-hash order (xxhash64 of the vector),
+    NOT a bare ``limit()``: limit without ordering is partition-order-
+    dependent, so the trained centroids — and every IVF/SemDeDup result
+    downstream — would change when the input is repartitioned.  The
+    ordered limit compiles to TakeOrderedAndProject (per-task top-n +
+    driver merge), not a full sort shuffle."""
+    sample = df.select(vec_col)
+    if sample_rows:
+        sample = sample.orderBy(
+            F.xxhash64(F.col(vec_col).cast("string")), F.col(vec_col).cast("string")
+        ).limit(sample_rows)
+    rows = sample.collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

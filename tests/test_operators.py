@@ -1663,3 +1663,97 @@ class TestAdviceRegressions:
         )
         outn = pack_sequences(neg, "doc_id", "text", budget=4, n_buckets=8).collect()
         assert all(r["pack_id"] >= 0 and r["offset"] >= 0 for r in outn)
+
+
+class TestDeterminismAndGuards:
+    """Round-3 VERDICT items: centroid-sample reproducibility and the
+    SemDeDup hot-cluster guard."""
+
+    @staticmethod
+    def _emb_df(spark, n=40, d=8, seed=3):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        rows = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def test_centroids_invariant_to_repartitioning(self, spark):
+        from associationabacminer_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+
+        df = self._emb_df(spark)
+        c7 = train_ivf_centroids(df.repartition(7), "embedding", 4, sample_rows=30)
+        c3 = train_ivf_centroids(df.repartition(3), "embedding", 4, sample_rows=30)
+        assert np.array_equal(c7, c3)
+
+    def test_ivf_and_semdedup_invariant_to_repartitioning(self, spark):
+        from associationabacminer_spark.operators import semdedup as SD
+        from associationabacminer_spark.operators.similarity import ivf_topk
+
+        df = self._emb_df(spark, n=60)
+        q = df.filter(F.col("vec_id") < 5)
+        a = sorted(
+            map(tuple, ivf_topk(df.repartition(7), q, k=3, n_centroids=4).collect())
+        )
+        b = sorted(
+            map(tuple, ivf_topk(df.repartition(3), q, k=3, n_centroids=4).collect())
+        )
+        assert a == b
+        sa = sorted(
+            r["vec_id"]
+            for r in SD.semdedup(
+                df.repartition(7), "vec_id", "embedding", 0.9, n_clusters=4
+            ).collect()
+        )
+        sb = sorted(
+            r["vec_id"]
+            for r in SD.semdedup(
+                df.repartition(3), "vec_id", "embedding", 0.9, n_clusters=4
+            ).collect()
+        )
+        assert sa == sb
+
+    def test_semdedup_hot_cluster_guard(self, spark):
+        """80% of rows share one identical embedding: the collapsed pair
+        path must stay linear in the identical group (star edges) and
+        keep the same survivors as the uncollapsed all-pairs path."""
+        from associationabacminer_spark.operators import semdedup as SD
+
+        rng = np.random.default_rng(11)
+        hot = rng.normal(size=8)
+        hot /= np.linalg.norm(hot)
+        rows = [(int(i), [float(v) for v in hot]) for i in range(80)]
+        X = rng.normal(size=(20, 8))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        rows += [(100 + int(i), [float(v) for v in X[i]]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        clustered = SD.cluster_assign(df, "embedding", n_clusters=4)
+
+        collapsed = SD.semdedup_pairs(clustered, "vec_id", "embedding", 0.95)
+        full = SD.semdedup_pairs(
+            clustered, "vec_id", "embedding", 0.95, collapse_identical=False
+        )
+        n_collapsed, n_full = collapsed.count(), full.count()
+        # all-pairs on the 80-identical cluster is 3160 pairs; the star
+        # is 79 edges + pairs among distinct vectors only
+        assert n_full >= 80 * 79 / 2
+        assert n_collapsed < n_full / 5
+        # identical survivors either way
+        ka = sorted(
+            r["vec_id"]
+            for r in SD.semdedup(df, "vec_id", "embedding", 0.95, 4).collect()
+        )
+        comp_pairs = full.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        from associationabacminer_spark.operators.components import (
+            assign_components,
+        )
+
+        comp = assign_components(df, comp_pairs, "vec_id")
+        kb = sorted(
+            r["vec_id"]
+            for r in comp.filter(F.col("vec_id") == F.col("component")).collect()
+        )
+        assert ka == kb
