@@ -2,21 +2,39 @@
 with decode / feature-extract / resize / frame-sample as Arrow-batched
 ``mapInPandas`` stages.
 
-The image/audio/video codec libraries are NOT in this container, so the
-actual decode is a deterministic fake (or ``NotImplementedError`` when
-``strict=True``) — but the Spark-side plumbing is real and tested: the
-binary column schema, the mapInPandas batch shape, the metadata struct,
-and the partitioning all match what a production decode stage needs.
+Codec libraries are probed at import (the same optional-dependency
+pattern as ``sources/iceberg.py``): when Pillow is installed,
+``decode_media(codec="image")`` decodes real image payloads; otherwise
+— and always for the oracle-checked queries, which pass the default —
+the decode is a deterministic fake (or ``NotImplementedError`` when
+``strict=True``).  Either way the Spark-side plumbing is real and
+tested: the binary column schema, the mapInPandas batch shape, the
+metadata struct, and the partitioning all match what a production
+decode stage needs.
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional codec probe — absent in the sandbox, real elsewhere
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - depends on environment
+    _PILImage = None
+    HAS_PIL = False
+
+
+def probe_codecs() -> dict[str, bool]:
+    """Which real decoders are available in this environment."""
+    return {"image": HAS_PIL}
 
 MEDIA_SCHEMA = (
     "media_id long, payload binary, media_type string, "
@@ -61,16 +79,56 @@ def _fake_decode(payload: pd.Series, media_type: pd.Series) -> pd.DataFrame:
     )
 
 
-def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
+def _pil_decode(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real image decode via Pillow: geometry from the actual header,
+    feature = 8-bin grayscale histogram (density).  Only called when the
+    probe found the library."""
+    widths, heights, feats = [], [], []
+    for payload in pdf["payload"]:
+        img = _PILImage.open(io.BytesIO(payload))
+        widths.append(img.width)
+        heights.append(img.height)
+        gray = np.asarray(img.convert("L"), dtype=np.float64)
+        hist, _ = np.histogram(gray, bins=8, range=(0, 256), density=False)
+        feats.append((hist / max(gray.size, 1)).astype(np.float32))
+    n_bytes = pdf["payload"].str.len().astype("int64")
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": n_bytes,
+            "width": pd.Series(widths, dtype="int32", index=pdf.index),
+            "height": pd.Series(heights, dtype="int32", index=pdf.index),
+            "n_frames": pd.Series(np.ones(len(pdf)), dtype="int32", index=pdf.index),
+            "feature": feats,
+        }
+    )
+
+
+def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> DataFrame:
     """Decode + feature-extract stage over ``mapInPandas``.
 
-    ``strict=True`` raises NotImplementedError where a real codec
-    (Pillow/ffmpeg/torchaudio) would be invoked — the marked integration
-    point; the default path runs the deterministic fake so the plumbing
-    (schema, batching, vectorization) is exercised end-to-end."""
+    ``codec="fake"`` (default — what every oracle-checked query uses)
+    runs the deterministic fake so the plumbing (schema, batching,
+    vectorization) is exercised end-to-end with byte-reproducible
+    output.  ``codec="image"`` decodes real image payloads via Pillow
+    when the import probe found it, and raises ImportError otherwise.
+    ``strict=True`` with the fake codec raises NotImplementedError at
+    the exact point a real decoder would run — the marked integration
+    point for codecs this container lacks (ffmpeg/torchaudio)."""
+    if codec not in ("fake", "image"):
+        raise ValueError(f"unknown codec {codec!r}")
+    if codec == "image" and not HAS_PIL:
+        raise ImportError(
+            "decode_media(codec='image') requires Pillow, which probe_codecs() "
+            "did not find in this environment"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec == "image":
+                yield _pil_decode(pdf)
+                continue
             if strict:
                 raise NotImplementedError(
                     "real media decode requires codec libraries not present "

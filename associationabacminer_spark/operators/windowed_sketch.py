@@ -30,12 +30,13 @@ def salt_expr(specs, salts: int, salt_cols: list[str] | None = None):
     ledger's (window, salt) keys must match what a resumed run
     recomputes).
 
-    Default is a content hash of the spec columns: deterministic across
-    any input partitioning, which keeps merges bit-reproducible — but it
-    sends ALL copies of one hot VALUE (one user dominating a group) to a
-    single salt.  Pass ``salt_cols`` (high-cardinality columns like
-    turn_idx / ts) to spread duplicate values across salts while staying
-    deterministic; only identical FULL rows then share a salt."""
+    With no ``salt_cols`` this hashes the spec columns only:
+    deterministic across any input partitioning, which keeps merges
+    bit-reproducible — but it sends ALL copies of one hot VALUE (one
+    user dominating a group) to a single salt.  The windowed builders
+    therefore default ``salt_cols`` to ``[ts_col]`` before calling this,
+    and only identical (value, ts) rows share a salt; callers elsewhere
+    should pass a high-cardinality column the same way."""
     cols = [F.col(s.column) for s in specs]
     if salt_cols:
         cols += [F.col(c) for c in salt_cols]
@@ -79,7 +80,11 @@ def windowed_sketch_partials(
     the fixed-size partials per window.  The salt is a deterministic
     content hash, and the merge sorts by salt, so the result is
     bit-reproducible across any input partitioning (the same invariant
-    the main harness's group builds keep, agg.py)."""
+    the main harness's group builds keep, agg.py).
+
+    ``salt_cols`` defaults to ``[ts_col]`` — the always-present
+    high-cardinality column — so one hot VALUE no longer collapses onto
+    a single salt by default; pass an explicit list to override."""
     import time as _time
 
     from associationabacminer_spark.operators.agg import _clean, NULL_SENTINEL
@@ -99,7 +104,7 @@ def windowed_sketch_partials(
             cn = s.column
             exprs.setdefault(cn, F.col(cn))
         spec_cols.append(cn)
-    salt = salt_expr(specs, salts, salt_cols)
+    salt = salt_expr(specs, salts, salt_cols if salt_cols is not None else [ts_col])
     proj = df.select(
         F.window(ts_col, width, slide).alias("__w__"),
         salt.alias("__salt__"),
@@ -269,7 +274,9 @@ def run_windowed_with_lineage(
             "__ws__", F.window(ts_col, width)["start"]
         ).withColumn(
             "__salt__",
-            salt_expr(specs, salts, salt_cols),
+            # MUST mirror windowed_sketch_partials' defaulting or a
+            # resumed run would recompute different (window, salt) keys
+            salt_expr(specs, salts, salt_cols if salt_cols is not None else [ts_col]),
         )
         todo = (
             keyed.join(

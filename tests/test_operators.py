@@ -1757,3 +1757,65 @@ class TestDeterminismAndGuards:
             for r in comp.filter(F.col("vec_id") == F.col("component")).collect()
         )
         assert ka == kb
+
+
+class TestMultimodalCodecProbe:
+    def test_probe_reports_availability(self):
+        from associationabacminer_spark.operators.multimodal import probe_codecs
+
+        caps = probe_codecs()
+        assert set(caps) == {"image"} and isinstance(caps["image"], bool)
+
+    def test_image_codec_raises_cleanly_when_absent(self, spark):
+        from associationabacminer_spark.operators import multimodal as MM
+
+        if MM.HAS_PIL:
+            pytest.skip("Pillow present; covered by the real-decode test")
+        df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+        with pytest.raises(ImportError, match="Pillow"):
+            MM.decode_media(MM.pack_media(df, "doc_id", "text"), codec="image")
+
+    def test_real_image_decode_when_pillow_present(self, spark):
+        """Opt-in: runs only where Pillow is installed — decodes a real
+        PNG through the same mapInPandas plumbing the fake path uses."""
+        from associationabacminer_spark.operators import multimodal as MM
+
+        if not MM.HAS_PIL:
+            pytest.skip("Pillow not installed in this environment")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (12, 7), color=(200, 10, 10)).save(buf, format="PNG")
+        payload = buf.getvalue()
+        media = spark.createDataFrame(
+            [(1, payload, "image", (len(payload), "png"))],
+            MM.MEDIA_SCHEMA,
+        )
+        row = MM.decode_media(media, codec="image").collect()[0]
+        assert (row["width"], row["height"]) == (12, 7)
+        assert abs(sum(row["feature"]) - 1.0) < 1e-6  # histogram density
+
+
+class TestWindowedSaltDefault:
+    def test_hot_value_spreads_without_explicit_salt_cols(self, spark):
+        """Round-3 VERDICT item 5: the safe salt is now the default — a
+        single hot sketched value must spread across salts with NO
+        salt_cols argument (ts varies per row)."""
+        import datetime as dt
+
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import (
+            windowed_sketch_partials,
+        )
+        from associationabacminer_spark.sketch import HyperLogLog
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(7, base + dt.timedelta(seconds=i)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+        specs = [SketchSpec("h", HyperLogLog, "user_id", kernel_cls=HyperLogLog)]
+        partials = windowed_sketch_partials(
+            df, specs, "ts", "1 day", "1 day", salts=8
+        )
+        assert partials.select("salt").distinct().count() == 8
