@@ -178,3 +178,36 @@ def dependency_map_from_fd(
             if s is not None and s >= threshold:
                 found.append(f"{det} -> {dep}")
     return parse_dependency_map(found)
+
+
+def service_op_resource_types(
+    df: DataFrame,
+    source_col: str,
+    op_col: str,
+    arns_col: str,
+    error_col: str | None = None,
+) -> DataFrame:
+    """A14: the service -> operation -> resource-type-combination map
+    (ResourceTypePopulator.py:13-47): skip error events, service is the
+    first dot-segment of the event source, each event contributes the
+    '_'-joined sorted set of distinct ARN resource types ('None' when
+    the event carries no resources), and the output is the DISTINCT
+    (service, op, type_combo) triples.
+
+    The reference builds this as a driver-side nested dict over a full
+    Mongo scan; here it is one projection + distinct — the combo string
+    is computed per row with Catalyst array lambdas (no Python), and the
+    only shuffle is the distinct on the (tiny) triple space."""
+    base = df if error_col is None else df.filter(F.col(error_col).isNull())
+    types = F.transform(
+        F.col(arns_col), lambda a: F.split(F.split(a, ":")[5], "/")[0]
+    )
+    combo = F.when(
+        F.size(F.col(arns_col)) > 0,
+        F.array_join(F.array_sort(F.array_distinct(types)), "_"),
+    ).otherwise(F.lit("None"))
+    return base.select(
+        F.split(F.col(source_col), r"\.")[0].alias("service"),
+        F.col(op_col).alias("op"),
+        combo.alias("type_combo"),
+    ).distinct()

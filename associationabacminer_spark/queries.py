@@ -2856,3 +2856,67 @@ def q94(spark, sf_dir):
     return shuffle_shard(doc, "doc_id", n_shards=16).select(
         "doc_id", "shard", "pos"
     )
+
+
+@query(
+    "q95_service_op_resource_map",
+    """
+    WITH r AS (
+      SELECT ['s3','ec2','iam'][CAST(event_id % 3 AS INT) + 1] AS service,
+             event_type AS op,
+             CAST(event_id % 4 AS INT) AS n_res,
+             list_transform(
+               generate_series(1, CAST(event_id % 4 AS INT)),
+               i -> ['bucket','key','instance','table'][CAST((event_id + i) % 4 AS INT) + 1]
+             ) AS types
+      FROM events
+      WHERE event_type <> 'error')
+    SELECT DISTINCT service, op,
+           CASE WHEN n_res > 0
+                THEN array_to_string(list_sort(list_distinct(types)), '_')
+                ELSE 'None' END AS type_combo
+    FROM r
+    """,
+)
+def q95(spark, sf_dir):
+    """A14 service->op->resource-type map (ResourceTypePopulator.py:13-47):
+    the Spark side synthesizes full eventSource strings + ARNs and
+    parses service/type back out with the real operator; the oracle
+    derives both arithmetically."""
+    from associationabacminer_spark.operators.stats import service_op_resource_types
+
+    ev = _t(spark, sf_dir, "events")
+    services = F.array(F.lit("s3"), F.lit("ec2"), F.lit("iam"))
+    types_arr = F.array(
+        F.lit("bucket"), F.lit("key"), F.lit("instance"), F.lit("table")
+    )
+    n_res = (F.col("event_id") % 4).cast("int")
+    synth = ev.select(
+        F.concat(
+            F.element_at(services, (F.col("event_id") % 3 + 1).cast("int")),
+            F.lit(".amazonaws.com"),
+        ).alias("event_source"),
+        F.col("event_type").alias("op_name"),
+        F.when(F.col("event_type") == "error", F.lit("AccessDenied")).alias(
+            "error_code"
+        ),
+        F.when(
+            n_res > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_res),
+                lambda i: F.concat(
+                    F.lit("arn:aws:svc:us-east-1:123456789012:"),
+                    F.element_at(
+                        types_arr, ((F.col("event_id") + i) % 4 + 1).cast("int")
+                    ),
+                    F.lit("/r"),
+                    i.cast("string"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("arns"),
+    )
+    return service_op_resource_types(
+        synth, "event_source", "op_name", "arns", error_col="error_code"
+    )

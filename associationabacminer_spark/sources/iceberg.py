@@ -27,6 +27,15 @@ semantics here:
 - **incremental reads**: consume appended snapshots between two ids;
   fallback: Structured Streaming file source over the same directory
   (streaming/stream_agg.py) gives append-only incremental semantics
+
+Jar-acquisition attempt (round 3, 2026-08-16): fetching
+``org.apache.iceberg:iceberg-spark-runtime`` from Maven Central was
+attempted from this sandbox and failed at DNS resolution
+(``Could not resolve host: repo1.maven.org`` — no outbound network),
+so a live catalog/snapshot/time-travel exercise remains impossible
+here.  The probe + fallback below stay the honest behavior; on any
+host with the jar, ``iceberg_available`` flips true and the
+Iceberg-only paths (snapshot_id/as_of) activate without code changes.
 """
 
 from __future__ import annotations

@@ -650,3 +650,43 @@ class TestRangeSortedLayout:
             probe = xxh64_keys(np.array([et], dtype=object))
             got = int(c.query(probe, prehashed=True)[0])
             assert got >= n  # CMS overestimates only
+
+
+class TestLedgerOrdering:
+    """T3 (job-queue ordering): the resume path must claim exactly the
+    missing group ids, deterministically, and the ledger must end up a
+    complete one-row-per-(group, sketch) partition of the work — the
+    Spark analog of the reference's ordered job-queue claim
+    (/root/reference/src/job/job_executor.py:93-130)."""
+
+    def test_resume_claims_exactly_missing_groups_once(self, prepared, spark):
+        tmp = tempfile.mkdtemp(prefix="ledger-order-")
+        try:
+            specs = [
+                SketchSpec("hll_conv", HyperLogLog, "conv_id", kernel_cls=HyperLogLog)
+            ]
+            lineage = build_sketches(prepared, specs, num_groups=32, method="group")
+            kept = lineage.filter(F.col("group_id") < 16).withColumn(
+                "run_id", F.lit("r1")
+            )
+            kept.write.mode("overwrite").parquet(tmp + "/build")
+
+            run_with_lineage(prepared, specs, tmp, num_groups=32, run_id="r2")
+            ledger = spark.read.parquet(tmp + "/build").collect()
+
+            # r2 claimed exactly the missing half, nothing it already had
+            r2_groups = sorted(r["group_id"] for r in ledger if r["run_id"] == "r2")
+            assert r2_groups == list(range(16, 32))
+            # the finished ledger is a complete, duplicate-free partition
+            # of the work: one row per (group_id, sketch_name)
+            keys = [(r["group_id"], r["sketch_name"]) for r in ledger]
+            assert len(keys) == len(set(keys)) == 32
+            assert sorted({g for g, _ in keys}) == list(range(32))
+            # a third run over the complete ledger claims nothing (T3's
+            # "don't re-claim finished jobs")
+            run_with_lineage(prepared, specs, tmp, num_groups=32, run_id="r3")
+            ledger3 = spark.read.parquet(tmp + "/build").collect()
+            assert not any(r["run_id"] == "r3" for r in ledger3)
+            assert len(ledger3) == 32
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
