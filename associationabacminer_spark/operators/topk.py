@@ -20,13 +20,28 @@ def topk_by_count(
     count_col: str = "count",
     keep_ties: bool = False,
 ) -> DataFrame:
+    """Global top-k by count with deterministic key tiebreak.
+
+    Scale shape: the default path compiles to TakeOrderedAndProject
+    (per-task top-k + driver merge of k*tasks rows) — never the
+    single-partition global window a ``row_number() OVER (ORDER BY ..)``
+    produces, which funnels every input row through one task.
+    ``keep_ties=True`` keeps every row tied with the k-th COUNT: the
+    k-th largest count is computed by the same bounded top-k and
+    broadcast back as a threshold filter."""
     order = [F.desc(count_col)] + [F.asc(c) for c in key_cols]
-    w = Window.orderBy(*order)
-    fn = F.rank() if keep_ties else F.row_number()
+    if not keep_ties:
+        return df.orderBy(*order).limit(k)
+    kth = (
+        df.select(F.col(count_col).alias("__c__"))
+        .orderBy(F.desc("__c__"))
+        .limit(k)
+        .agg(F.min("__c__").alias("__kth__"))
+    )
     return (
-        df.withColumn("__rk__", fn.over(w))
-        .filter(F.col("__rk__") <= k)
-        .drop("__rk__")
+        df.crossJoin(F.broadcast(kth))
+        .filter(F.col(count_col) >= F.col("__kth__"))
+        .drop("__kth__")
     )
 
 

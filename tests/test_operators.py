@@ -1819,3 +1819,27 @@ class TestWindowedSaltDefault:
             df, specs, "ts", "1 day", "1 day", salts=8
         )
         assert partials.select("salt").distinct().count() == 8
+
+
+class TestTopkPlanShape:
+    def test_topk_is_take_ordered_not_global_window(self, spark):
+        """q12's global top-k must compile to TakeOrderedAndProject, not
+        a single-partition WindowExec."""
+        import associationabacminer_spark.queries as Q
+
+        plan = Q.QUERIES["q12_topk_parts"](
+            spark, "/root/testdata/sf0.001"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+
+    def test_topk_keep_ties_keeps_kth_count_ties(self, spark):
+        from associationabacminer_spark.operators.topk import topk_by_count
+
+        df = spark.createDataFrame(
+            [("a", 5), ("b", 3), ("c", 3), ("d", 1)], "key: string, cnt: long"
+        )
+        got = sorted(
+            r["key"] for r in topk_by_count(df, ["key"], 2, "cnt", True).collect()
+        )
+        assert got == ["a", "b", "c"]  # both 3-count rows survive
