@@ -67,3 +67,37 @@ def file_ranges(path: str, column: str) -> list[tuple]:
         if lo is not None:
             out.append((lo, hi))
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table write: rows are hash-distributed into ``n_buckets``
+    files per partition by ``bucket_cols``, with the bucketing recorded
+    in the session catalog — the lever for SHUFFLE-FREE co-located
+    joins and aggregations at 100 TB.
+
+    Two tables bucketed on the same key with the same bucket count join
+    by zipping bucket i with bucket i: Catalyst drops the Exchange on
+    both sides (asserted in TestBucketedJoin), so the dominant cost of a
+    fact-to-fact join — shuffling both inputs — is paid ONCE at write
+    time and amortized over every subsequent join/groupBy on that key.
+    ``sort_cols`` additionally sorts within each bucket (sortBy), which
+    lets the sort-merge join skip its per-task sort too.
+
+    Bucketing metadata lives in the catalog, not the parquet files, so
+    this writes through ``saveAsTable`` (``path`` makes it an external
+    table; files land there, metadata in the catalog)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
