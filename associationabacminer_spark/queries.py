@@ -2920,3 +2920,94 @@ def q95(spark, sf_dir):
     return service_op_resource_types(
         synth, "event_source", "op_name", "arns", error_col="error_code"
     )
+
+
+@query(
+    "q96_topk_with_ties",
+    """
+    WITH c AS (SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand),
+    k AS (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 5)
+    SELECT p_brand, cnt FROM c WHERE cnt >= (SELECT MIN(cnt) FROM k)
+    """,
+)
+def q96(spark, sf_dir):
+    """T1 top-k WITH ties (keep every row tied at the k-th count): the
+    broadcast kth-count threshold path of topk_by_count — bounded
+    per-task top-k, never a single-partition window."""
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    return topk.topk_by_count(counts, ["p_brand"], 5, count_col="cnt", keep_ties=True)
+
+
+@query(
+    "q97_cube_grouping_sets",
+    """
+    SELECT lang, source, COUNT(*) AS cnt,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def q97(spark, sf_dir):
+    """A7/A12 generalization: CUBE grouping sets with GROUPING ids —
+    all four (lang, source) aggregation levels in ONE pass (Spark's
+    Expand feeds a single hash aggregate; no per-level rescans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("cnt"),
+        F.grouping("lang").cast("bigint").alias("g_lang"),
+        F.grouping("source").cast("bigint").alias("g_source"),
+    )
+
+
+# Identical ANSI text on both engines (the q44/q81 pattern): per-user
+# 4-row rolling average, total ordering via the unique event_id tiebreak.
+_ROLLING_AVG_SQL = """
+    SELECT event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+    FROM events
+"""
+
+
+@query("q98_rolling_avg", _ROLLING_AVG_SQL)
+def q98(spark, sf_dir):
+    """W1 companion: keyed ROWS-frame rolling aggregate (the per-entity
+    moving average every monitoring pipeline runs).  Partitioned by
+    user_id — each window task holds one user's rows, never a global
+    sort."""
+    from associationabacminer_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ROLLING_AVG_SQL)
+
+
+@query(
+    "q99_robust_stats_mad",
+    """
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(m.med), 6) AS med,
+           ROUND(MEDIAN(ABS(e.value - m.med)), 6) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q99(spark, sf_dir):
+    """E-family robust statistics: per-group median + median absolute
+    deviation (the outlier-resistant spread every quality screen wants).
+    Two grouped exact medians; the tiny per-group median table broadcast
+    back for the residual pass."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad"),
+        )
+    )
