@@ -259,3 +259,32 @@ class TestScalePlans:
             assert "CartesianProduct" not in plan, name
             assert "BroadcastNestedLoop" not in plan, name
             assert "EvalPython" not in plan, name
+
+
+class TestRound3QueryPlans:
+    @staticmethod
+    def _exec_plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_cube_is_one_expand_one_scan(self, spark):
+        """q97: all four grouping-set levels from ONE scan + Expand +
+        hash aggregate — not a union of per-level rescans."""
+        plan = self._exec_plan(Q.QUERIES["q97_cube_grouping_sets"](spark, SF))
+        assert plan.count("Expand") == 1
+        assert plan.count("Scan parquet") == 1
+        assert "Union" not in plan
+
+    def test_mad_broadcasts_median_table(self, spark):
+        """q99: the per-group median table is broadcast back — no
+        shuffle of the fact side for the residual join."""
+        plan = self._exec_plan(Q.QUERIES["q99_robust_stats_mad"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_rolling_avg_window_is_partitioned(self, spark):
+        """q98: the window must be keyed by user_id (never a global
+        single-partition sort)."""
+        plan = self._exec_plan(Q.QUERIES["q98_rolling_avg"](spark, SF))
+        assert "Window" in plan
+        window_line = plan.split("Window")[1].split("\n")[0]
+        assert "windowspecdefinition(user_id" in window_line
