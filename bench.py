@@ -48,6 +48,11 @@ HEADLINE = [
     "q39_dup_components",
     "q71_tfidf_top_terms",
     "q42_decontamination",
+    # round 3: A14 map, CUBE grouping sets, keyed rolling window, robust MAD
+    "q95_service_op_resource_map",
+    "q97_cube_grouping_sets",
+    "q98_rolling_avg",
+    "q99_robust_stats_mad",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates
