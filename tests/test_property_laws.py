@@ -197,3 +197,38 @@ class TestBottomKLaws:
         s = BottomK(k=1024).update_hashes(_np_keys(xs).astype(np.uint64))
         if distinct < 1024:
             assert s.estimate_distinct() == float(distinct)
+
+
+class TestBottomKPayloadMaskLaws:
+    """The out-of-band payload-validity mask (round-3 BTK2 layout) must
+    survive merges and serde for ANY int64 payload, including the old
+    in-band sentinel value int64 min."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(int_keys, int_keys)
+    def test_mask_follows_payloads_through_merge_and_serde(self, xa, xb):
+        from associationabacminer_spark.sketch import BottomK
+
+        ha = _np_keys(xa).astype(np.uint64)
+        hb = _np_keys(xb).astype(np.uint64)
+        a = BottomK(k=32).update_hashes(ha, payloads=_np_keys(xa))  # with payloads
+        b = BottomK(k=32).update_hashes(hb)  # without
+        m = BottomK.merge(a, b)
+        rt = BottomK.deserialize(m.serialize())
+        assert (rt.has_payload == m.has_payload).all()
+        # every sampled payload is one a contributed; b's entries never leak
+        a_payloads = set(int(x) for x in _np_keys(xa))
+        assert set(int(x) for x in rt.sample()) <= a_payloads
+
+    @settings(max_examples=20, deadline=None)
+    @given(int_keys)
+    def test_int64_min_is_a_legal_payload(self, xs):
+        from associationabacminer_spark.sketch import BottomK
+
+        lo = -(2**63)
+        h = np.concatenate(
+            [np.array([lo], dtype=np.int64), _np_keys(xs)]
+        ).astype(np.uint64)
+        p = h.astype(np.int64)
+        s = BottomK(k=max(64, len(h) + 1)).update_hashes(h, payloads=p)
+        assert lo in set(int(x) for x in s.sample())
