@@ -3011,3 +3011,34 @@ def q99(spark, sf_dir):
             F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad"),
         )
     )
+
+
+@query("s47_cms_join_size")
+def s47(spark, sf_dir):
+    """Sketch-native join-size estimation (planner capability): per-key
+    CMS of orders.o_custkey x CMS of customer.c_custkey; the CMS inner
+    product (Cormode & Muthukrishnan 2005 §4.2) estimates the equi-join
+    output cardinality without running the join.  Self-checks: estimate
+    never underestimates the exact join count and lands within the
+    published eps*Na*Nb bound.  Both sketches build fully JVM-side
+    (groupBy counts -> prehashed kernel)."""
+    from associationabacminer_spark.operators.sql_sketch import cms_from_sql
+    from associationabacminer_spark.sketch.cms import inner_product_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = cms_from_sql(orders, "o_custkey", width=8192, depth=5)
+    b = cms_from_sql(cust, "c_custkey", width=8192, depth=5)
+    est = inner_product_estimate(a, b)
+    exact = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).count()
+    bound = a.eps * a.total * b.total
+    return spark.createDataFrame(
+        [
+            ("join_size_est", float(est), float(exact), bool(est >= exact)),
+            ("within_bound", float(est - exact), float(bound),
+             bool(est - exact <= bound)),
+        ],
+        "metric string, estimate double, reference double, ok boolean",
+    )

@@ -134,3 +134,19 @@ class CountMinSketch:
                 .astype(np.int64)
             )
         return out
+
+
+def inner_product_estimate(a: "CountMinSketch", b: "CountMinSketch") -> int:
+    """Join-size / inner-product estimate  sum_k fA(k) * fB(k)  from two
+    CMS built with the SAME (width, depth) (Cormode & Muthukrishnan 2005
+    §4.2): the row-wise dot product of the counter matrices
+    overestimates the true inner product (every colliding pair only
+    adds), so the minimum over depth rows is the estimate, with
+    Pr[err > eps * Na * Nb] <= delta.
+
+    The planner use: fA/fB are per-join-key frequency sketches of two
+    tables, and the inner product IS the equi-join output cardinality —
+    a skewed-key join explosion shows up here before any shuffle runs."""
+    if (a.width, a.depth) != (b.width, b.depth):
+        raise ValueError("inner product requires identically-sized sketches")
+    return int((a.table.astype(np.float64) * b.table.astype(np.float64)).sum(axis=1).min())

@@ -488,3 +488,55 @@ class TestSerdeCompat:
         # hashes-only entries still excluded from the sample
         t = BottomK(k=16).update_hashes(np.array([5, 6], dtype=np.uint64))
         assert len(t.sample()) == 0 and len(t.hashes) == 2
+
+
+class TestCmsInnerProduct:
+    def test_overestimate_only_and_bound(self):
+        import numpy as np
+
+        from associationabacminer_spark.sketch import CountMinSketch
+        from associationabacminer_spark.sketch.cms import inner_product_estimate
+
+        rng = np.random.default_rng(5)
+        # zipf-ish keys: the skewed case join-size estimation exists for
+        ka = [f"k{int(v)}" for v in rng.zipf(1.3, size=20000) % 500]
+        kb = [f"k{int(v)}" for v in rng.zipf(1.5, size=15000) % 500]
+        from collections import Counter
+
+        ca, cb = Counter(ka), Counter(kb)
+        true = sum(ca[k] * cb.get(k, 0) for k in ca)
+        a = CountMinSketch(width=4096, depth=5).update_batch(np.array(ka, dtype=object))
+        b = CountMinSketch(width=4096, depth=5).update_batch(np.array(kb, dtype=object))
+        est = inner_product_estimate(a, b)
+        assert est >= true  # never underestimates
+        assert est - true <= a.eps * a.total * b.total  # published bound
+
+    def test_mismatched_shapes_rejected(self):
+        from associationabacminer_spark.sketch import CountMinSketch
+        from associationabacminer_spark.sketch.cms import inner_product_estimate
+
+        with pytest.raises(ValueError):
+            inner_product_estimate(
+                CountMinSketch(width=1024, depth=5), CountMinSketch(width=2048, depth=5)
+            )
+
+    def test_merge_then_inner_product_consistent(self):
+        """Building each side from merged partials must give the same
+        estimate as a single-pass build (the distributed path)."""
+        import numpy as np
+
+        from associationabacminer_spark.sketch import CountMinSketch
+        from associationabacminer_spark.sketch.cms import inner_product_estimate
+
+        rng = np.random.default_rng(7)
+        ka = [f"u{int(v)}" for v in rng.integers(0, 300, size=9000)]
+        kb = [f"u{int(v)}" for v in rng.integers(0, 300, size=7000)]
+        one_a = CountMinSketch(width=2048, depth=5).update_batch(np.array(ka, dtype=object))
+        parts = np.array_split(np.array(ka, dtype=object), 4)
+        merged_a = CountMinSketch(width=2048, depth=5)
+        for p in parts:
+            merged_a = CountMinSketch.merge(
+                merged_a, CountMinSketch(width=2048, depth=5).update_batch(p)
+            )
+        sb = CountMinSketch(width=2048, depth=5).update_batch(np.array(kb, dtype=object))
+        assert inner_product_estimate(one_a, sb) == inner_product_estimate(merged_a, sb)
