@@ -540,3 +540,36 @@ class TestCmsInnerProduct:
             )
         sb = CountMinSketch(width=2048, depth=5).update_batch(np.array(kb, dtype=object))
         assert inner_product_estimate(one_a, sb) == inner_product_estimate(merged_a, sb)
+
+
+class TestBottomKJaccard:
+    def test_exact_below_k_and_estimate_above(self):
+        import numpy as np
+
+        from associationabacminer_spark.sketch import BottomK
+        from associationabacminer_spark.sketch.bottomk import jaccard_estimate
+
+        # exact regime: both sets under k
+        a = BottomK(k=512).update_batch([f"x{i}" for i in range(200)])
+        b = BottomK(k=512).update_batch([f"x{i}" for i in range(100, 300)])
+        # true J = 100 / 300
+        assert jaccard_estimate(a, b) == pytest.approx(100 / 300)
+
+        # estimation regime: 30k vs 30k with 50% overlap, k=1024
+        big_a = BottomK(k=1024).update_batch([f"y{i}" for i in range(30000)])
+        big_b = BottomK(k=1024).update_batch(
+            [f"y{i}" for i in range(15000, 45000)]
+        )
+        true_j = 15000 / 45000
+        est = jaccard_estimate(big_a, big_b)
+        # ~5 standard errors of 1/sqrt(k)
+        assert abs(est - true_j) <= 5 / np.sqrt(1024)
+
+    def test_disjoint_and_identical(self):
+        from associationabacminer_spark.sketch import BottomK
+        from associationabacminer_spark.sketch.bottomk import jaccard_estimate
+
+        a = BottomK(k=64).update_batch(["p", "q", "r"])
+        b = BottomK(k=64).update_batch(["s", "t"])
+        assert jaccard_estimate(a, b) == 0.0
+        assert jaccard_estimate(a, a) == 1.0
