@@ -130,3 +130,43 @@ def laplacian_score(
             6,
         ).alias("lap_score"),
     )
+
+
+def fisher_score(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """(dim, fisher) per embedding dimension — the supervised Fisher
+    criterion Σ_c n_c (μ_c − μ)² / Σ_c n_c σ_c², larger = better class
+    separation (skfeature's fisher_score, the third data-parallel member
+    of the E2 ranking family after lap_score/low_variance;
+    /root/reference/src/experiment/FeatureSelector.py:128-237 is the
+    reference's offline analog).
+
+    One posexplode + two hash aggregations — per-(class, dim) moments
+    then a per-dim combine; nothing driver-side, no n x n structures."""
+    dims = _dims(df, id_col, vec_col)
+    lab = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("lab"))
+    cls = (
+        dims.join(lab, "id")
+        .groupBy("lab", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("val").alias("mu"),
+            F.var_pop("val").alias("var"),
+        )
+    )
+    per_dim = cls.groupBy("dim").agg(
+        F.sum(F.col("n") * F.col("mu")).alias("sw_mu"),
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("n") * F.col("mu") * F.col("mu")).alias("sw_mu2"),
+        F.sum(F.col("n") * F.col("var")).alias("within"),
+    )
+    # between-class scatter: Σ n_c μ_c² − n μ²  (μ = Σ n_c μ_c / n)
+    return per_dim.select(
+        "dim",
+        F.round(
+            (F.col("sw_mu2") - F.col("sw_mu") * F.col("sw_mu") / F.col("n_tot"))
+            / F.col("within"),
+            6,
+        ).alias("fisher"),
+    )

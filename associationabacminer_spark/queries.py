@@ -3042,3 +3042,32 @@ def s47(spark, sf_dir):
         ],
         "metric string, estimate double, reference double, ok boolean",
     )
+
+
+@query(
+    "q9a_fisher_score",
+    """
+    WITH vals AS (
+      SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    cls AS (
+      SELECT label, dim, COUNT(*) AS n, AVG(val) AS mu, var_pop(val) AS var
+      FROM vals GROUP BY label, dim
+    )
+    SELECT dim,
+           ROUND((SUM(n * mu * mu) - SUM(n * mu) * SUM(n * mu) / SUM(n))
+                 / SUM(n * var), 6) AS fisher
+    FROM cls GROUP BY dim
+    """,
+)
+def q9a(spark, sf_dir):
+    """E2 Fisher score (supervised class-separation ranking): per-class
+    per-dim moments -> per-dim combine, fully distributed."""
+    from associationabacminer_spark.operators.featsel import fisher_score
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return fisher_score(emb, "vec_id", "embedding", "label").select(
+        F.col("dim").cast("bigint").alias("dim"), "fisher"
+    )

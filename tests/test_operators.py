@@ -1843,3 +1843,37 @@ class TestTopkPlanShape:
             r["key"] for r in topk_by_count(df, ["key"], 2, "cnt", True).collect()
         )
         assert got == ["a", "b", "c"]  # both 3-count rows survive
+
+
+class TestFisherScore:
+    def test_matches_dense_numpy(self, spark):
+        from associationabacminer_spark.operators.featsel import fisher_score
+
+        rng = np.random.default_rng(9)
+        n, d = 300, 6
+        labels = rng.integers(0, 3, size=n)
+        X = rng.normal(size=(n, d))
+        X[:, 2] += labels * 2.0  # dim 2 separates classes strongly
+        rows = [
+            (int(i), [float(v) for v in X[i]], int(labels[i])) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<double>, label: int"
+        )
+        got = {
+            r["dim"]: r["fisher"]
+            for r in fisher_score(df, "vec_id", "embedding", "label").collect()
+        }
+        # dense truth
+        mu = X.mean(axis=0)
+        want = {}
+        for j in range(d):
+            between = within = 0.0
+            for c in range(3):
+                xc = X[labels == c, j]
+                between += len(xc) * (xc.mean() - mu[j]) ** 2
+                within += len(xc) * xc.var()
+            want[j] = between / within
+        for j in range(d):
+            assert got[j] == pytest.approx(want[j], abs=1e-5), j
+        assert max(got, key=got.get) == 2  # the planted dimension wins
