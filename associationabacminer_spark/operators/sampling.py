@@ -120,3 +120,38 @@ def shuffle_shard(
         .withColumn(pos_col, F.row_number().over(w).cast("long"))
         .drop("__shuffle_key__")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized
+    (Efraimidis & Spirakis 2006 A-ES, with the RNG replaced by the
+    md5-of-id uniform the rest of this module uses): each row gets
+    u in (0,1) from its id hash and priority u^(1/w); the k largest
+    priorities are the weighted sample.  Deterministic — same input,
+    same k rows, any partitioning — and mergeable (top-k of priorities),
+    so it composes with resume the way nothing RNG-based can.
+
+    Rows with non-positive weight are excluded (their inclusion
+    probability is zero).  The selection compiles to
+    TakeOrderedAndProject (per-task top-k + driver merge), never a
+    global sort.  Returns the sampled rows + a rounded ``priority``
+    column."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(_hash_key(id_col, salt), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    pr = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pr)
+        .orderBy(F.desc("priority"), F.col(id_col).cast("string"))
+        .limit(k)
+        .withColumn("priority", F.round("priority", 6))
+    )

@@ -3071,3 +3071,35 @@ def q9a(spark, sf_dir):
     return fisher_score(emb, "vec_id", "embedding", "label").select(
         F.col("dim").cast("bigint").alias("dim"), "fisher"
     )
+
+
+@query(
+    "q9b_weighted_sample",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS wt
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, wt,
+             POW((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0, 1.0 / wt) AS pr
+      FROM w WHERE wt > 0
+    )
+    SELECT doc_id, CAST(wt AS BIGINT) AS wt, ROUND(pr, 6) AS priority
+    FROM p ORDER BY pr DESC, CAST(doc_id AS VARCHAR) LIMIT 100
+    """,
+)
+def q9b(spark, sf_dir):
+    """Derandomized Efraimidis-Spirakis weighted sampling: 100 documents
+    drawn without replacement proportional to token count — the
+    quality-weighted curation draw, reproducible across engines."""
+    from associationabacminer_spark.functions.text import token_count
+    from associationabacminer_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("wt")
+    )
+    return weighted_sample(docs, "doc_id", "wt", 100)

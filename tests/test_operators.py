@@ -1877,3 +1877,31 @@ class TestFisherScore:
         for j in range(d):
             assert got[j] == pytest.approx(want[j], abs=1e-5), j
         assert max(got, key=got.get) == 2  # the planted dimension wins
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_proportional(self, spark):
+        from associationabacminer_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 100 if i < 50 else 1) for i in range(1050)]
+        df = spark.createDataFrame(rows, "id: long, w: long")
+        a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 200).collect())
+        b = sorted(
+            r["id"]
+            for r in weighted_sample(df.repartition(7), "id", "w", 200).collect()
+        )
+        assert a == b and len(a) == 200
+        # the 50 heavy rows (weight 100 vs 1) should nearly all be drawn
+        heavy = sum(1 for i in a if i < 50)
+        assert heavy >= 45
+
+    def test_zero_weight_excluded_and_plan_is_take_ordered(self, spark):
+        from associationabacminer_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 5), (3, 5)], "id: long, w: long"
+        )
+        out = weighted_sample(df, "id", "w", 10)
+        assert sorted(r["id"] for r in out.collect()) == [2, 3]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
