@@ -278,3 +278,20 @@ def hll_estimate_by_group(
         .otherwise(raw)
         .alias("approx_distinct"),
     )
+
+
+def mg_from_sql(df: DataFrame, col: str, k: int = 256) -> "MisraGries":
+    """Misra-Gries heavy-hitters summary from aggregated counts: the
+    groupBy(key).count() table IS an exact frequency vector, and MG over
+    exact (key, count) pairs equals the streaming build (mergeable
+    summaries subsume streaming).  Only the distinct-key histogram
+    leaves the cluster, pre-hashed to int64."""
+    from associationabacminer_spark.sketch.misragries import MisraGries
+
+    hashes, counts = _arrow_cols(key_counts(df, col), "key_hash", "cnt")
+    mg = MisraGries(k)
+    if len(hashes):
+        mg.update_batch(
+            hashes.astype(np.int64), counts=counts.astype(np.int64), prehashed=True
+        )
+    return mg

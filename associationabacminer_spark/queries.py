@@ -3103,3 +3103,40 @@ def q9b(spark, sf_dir):
         "doc_id", token_count(F.col("text")).cast("bigint").alias("wt")
     )
     return weighted_sample(docs, "doc_id", "wt", 100)
+
+
+@query("s48_mg_heavy_hitters")
+def s48(spark, sf_dir):
+    """Misra-Gries deterministic heavy hitters (7th kernel): the MG
+    lower bound and the CMS upper bound BRACKET every exact top-5
+    event_type count — underestimate-only meets overestimate-only, so
+    truth is pinned from both sides.  Both summaries build fully
+    JVM-side from the same groupBy histogram."""
+    import numpy as np
+
+    from associationabacminer_spark.operators.sql_sketch import (
+        cms_from_sql,
+        mg_from_sql,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mg = mg_from_sql(ev, "event_type", k=64)
+    cms = cms_from_sql(ev, "event_type", width=4096, depth=5)
+    top = (
+        ev.groupBy("event_type")
+        .count()
+        .orderBy(F.desc("count"), "event_type")
+        .limit(5)
+        .collect()
+    )
+    rows = []
+    for r in top:
+        key, exact = r["event_type"], r["count"]
+        h = ev.select(F.xxhash64(F.lit(key)).alias("h")).limit(1).collect()[0]["h"]
+        lb = int(mg.query(np.array([h]), prehashed=True)[0])
+        ub = int(cms.query(np.array([h]), prehashed=True)[0])
+        ok = lb <= exact <= lb + mg.error_bound() and exact <= ub
+        rows.append((key, float(lb), float(exact), float(ub), bool(ok)))
+    return spark.createDataFrame(
+        rows, "event_type string, mg_lower double, exact double, cms_upper double, ok boolean"
+    )

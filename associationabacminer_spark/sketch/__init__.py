@@ -23,6 +23,7 @@ from associationabacminer_spark.sketch.bloom import BloomFilter
 from associationabacminer_spark.sketch.kll import KLL
 from associationabacminer_spark.sketch.tdigest import TDigest
 from associationabacminer_spark.sketch.bottomk import BottomK
+from associationabacminer_spark.sketch.misragries import MisraGries
 
 __all__ = [
     "hash64",
@@ -30,6 +31,7 @@ __all__ = [
     "CountMinSketch",
     "BloomFilter",
     "BottomK",
+    "MisraGries",
     "KLL",
     "TDigest",
 ]

@@ -573,3 +573,60 @@ class TestBottomKJaccard:
         b = BottomK(k=64).update_batch(["s", "t"])
         assert jaccard_estimate(a, b) == 0.0
         assert jaccard_estimate(a, a) == 1.0
+
+
+class TestMisraGries:
+    def test_no_heavy_hitter_lost_and_bracket_with_cms(self):
+        import numpy as np
+        from collections import Counter
+
+        from associationabacminer_spark.sketch import MisraGries
+
+        rng = np.random.default_rng(3)
+        vals = [f"k{int(v)}" for v in rng.zipf(1.4, size=50000) % 2000]
+        truth = Counter(vals)
+        mg = MisraGries(k=128)
+        for chunk in np.array_split(np.array(vals, dtype=object), 9):
+            mg.update_batch(chunk)
+        n = len(vals)
+        assert mg.error_bound() <= n // (128 + 1) + 1
+        tracked_lb = dict(zip(mg.keys.tolist(), mg.counts.tolist()))
+        from associationabacminer_spark.sketch.hashing import hash64
+
+        for key, f in truth.items():
+            if f > n / (128 + 1):  # guaranteed present
+                h = int(hash64(np.array([key], dtype=object))[0])
+                assert h in tracked_lb, key
+            est = int(mg.query(np.array([key], dtype=object))[0])
+            assert est <= f <= est + mg.error_bound(), (key, est, f)
+
+    def test_merge_equals_stream_error_and_serde(self):
+        import numpy as np
+
+        from associationabacminer_spark.sketch import MisraGries
+
+        rng = np.random.default_rng(11)
+        parts = [
+            [f"v{int(x)}" for x in rng.zipf(1.5, size=8000) % 400]
+            for _ in range(4)
+        ]
+        sketches = [
+            MisraGries(k=64).update_batch(np.array(p, dtype=object)) for p in parts
+        ]
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = MisraGries.merge(merged, s)
+        n = sum(len(p) for p in parts)
+        assert merged.total == n
+        # mergeable-summaries bound: err <= N/(k+1)
+        assert merged.error_bound() <= n // (64 + 1) + 1
+        rt = MisraGries.deserialize(merged.serialize())
+        assert (rt.keys == merged.keys).all() and (rt.counts == merged.counts).all()
+        assert rt.err == merged.err and rt.total == merged.total
+        # underestimate-only vs the exact union counts
+        from collections import Counter
+
+        truth = Counter(v for p in parts for v in p)
+        for key, f in truth.most_common(20):
+            est = int(merged.query(np.array([key], dtype=object))[0])
+            assert est <= f <= est + merged.error_bound()
