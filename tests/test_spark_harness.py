@@ -748,3 +748,45 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS bk_g")
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestMisraGriesThroughHarness:
+    def test_mg_through_grouped_states_matches_exact(self, spark):
+        """7th-kernel lifecycle check: Misra-Gries per-group summaries
+        through grouped_sketch_states — deserialized lower bounds within
+        the tracked error of exact counts, partition-invariant."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.agg import SketchSpec
+        from associationabacminer_spark.operators.windowed_sketch import (
+            grouped_sketch_states,
+        )
+        from associationabacminer_spark.sketch import MisraGries
+        from associationabacminer_spark.sketch.xxhash import xxh64_keys
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        specs = [
+            SketchSpec("mg_user", lambda: MisraGries(k=64), "user_id",
+                       kernel_cls=MisraGries, prehash=True),
+        ]
+        states = grouped_sketch_states(ev, "event_type", specs, salts=4)
+        by = {r["group"]: r for r in states.collect()}
+        for et in ("view", "error"):
+            mg = MisraGries.deserialize(bytes(by[et]["sketch"]))
+            top = (
+                ev.filter(F.col("event_type") == et)
+                .groupBy("user_id").count()
+                .orderBy(F.desc("count")).limit(3).collect()
+            )
+            for r in top:
+                probe = np.array(
+                    [int(xxh64_keys(np.array([r["user_id"]], dtype="int64"))[0])]
+                )
+                lb = int(mg.query(probe, prehashed=True)[0])
+                assert lb <= r["count"] <= lb + mg.error_bound()
+        # partition invariance (merge order must not change the summary)
+        again = grouped_sketch_states(ev.repartition(7), "event_type", specs, salts=4)
+        a = {r["group"]: bytes(r["sketch"]) for r in states.collect()}
+        b = {r["group"]: bytes(r["sketch"]) for r in again.collect()}
+        assert a == b
