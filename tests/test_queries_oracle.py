@@ -134,12 +134,24 @@ def test_all_queries_run_and_return_rows(spark):
 
 
 def test_gate_window_all_oracled_and_aliases_resolve():
-    """The driver hash-gates the alphabetically-first 50 queries() keys;
-    a rows-only entry in that window wastes a gated slot (round-2
-    VERDICT item 1).  Also: every legacy alias must resolve."""
-    window = sorted(Q.QUERIES)[:50]
-    not_oracled = [n for n in window if n not in Q.ORACLES]
+    """The driver hash-gates the FIRST 50 queries() keys in dict INSERTION
+    order (proven by CORRECTNESS_r03.json); a rows-only entry in that
+    window wastes a gated slot.  Assert BOTH insertion-order and
+    sorted-order windows are all-oracled AND identical, so the invariant
+    is robust to either driver behavior (round-3 VERDICT item 1).
+    Also: every legacy alias must resolve."""
+    insertion_window = list(Q.QUERIES)[:50]
+    sorted_window = sorted(Q.QUERIES)[:50]
+    assert insertion_window == sorted_window, (
+        "insertion-order and sorted-order gate windows diverge; "
+        "the re-pack at the bottom of queries.py must keep them equal"
+    )
+    not_oracled = [n for n in insertion_window if n not in Q.ORACLES]
     assert not_oracled == [], f"rows-only queries inside the gated window: {not_oracled}"
+    # The entry-point dict the driver actually sees must carry the same order.
+    import __spark_entry__ as E
+
+    assert list(E.queries())[:50] == insertion_window
     for old, new in Q.ALIASES.items():
         assert new in Q.QUERIES, (old, new)
         assert Q.resolve(old) is Q.QUERIES[new]
