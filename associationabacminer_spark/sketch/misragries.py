@@ -58,6 +58,12 @@ class MisraGries:
             uc = uc.astype(np.int64)
         else:
             c = np.asarray(counts, dtype=np.int64)
+            # drop non-positive counts up front: they would corrupt
+            # total/err accounting and could leave non-positive counters in
+            # state (the keep>0 filter only runs when len(uk) > k)
+            pos = c > 0
+            if not pos.all():
+                h, c = h[pos], c[pos]
             uk, inv = np.unique(h, return_inverse=True)
             uc = np.zeros(len(uk), dtype=np.int64)
             np.add.at(uc, inv, c)

@@ -146,8 +146,22 @@ class TDigest:
         if magic == _MAGIC:
             delta, n, c = struct.unpack("<ddI", data[4:24])
         elif magic == _MAGIC_V1:
-            # legacy layout: n packed as int64
-            delta, n, c = struct.unpack("<dqI", data[4:24])
+            # TDG1 is ambiguous: the ancient layout packed n as int64
+            # ("<dqI") but double-era code wrote "<ddI" under the same magic
+            # before the TDG2 bump.  Both headers are 20 bytes with delta and
+            # the centroid count c at identical offsets — only the middle 8
+            # bytes (n) differ.  Disambiguate by picking the interpretation
+            # consistent with sum(weights) (n tracks total weight); a
+            # cross-era misread is off by >300 orders of magnitude, so the
+            # nearer interpretation is unambiguous.  Ties (e.g. empty digest,
+            # both reads 0) prefer the double layout: double-era blobs
+            # dominate persisted state.
+            delta, n_f, c = struct.unpack("<ddI", data[4:24])
+            (n_i,) = struct.unpack("<q", data[12:20])
+            sw = float(
+                np.frombuffer(data[24 + 8 * c : 24 + 16 * c], dtype="<f8").sum()
+            )
+            n = n_f if abs(n_f - sw) <= abs(float(n_i) - sw) else float(n_i)
         else:
             raise ValueError("not a t-digest blob")
         out = TDigest(delta)

@@ -462,6 +462,39 @@ class TestSerdeCompat:
         assert td.n == 1000  # NOT ~5e-321 (the int64 bits read as double)
         assert abs(td.quantile(0.5) - 2.0) < 1.0
 
+    def test_tdigest_v1_double_era_blob_decodes(self):
+        """Round-4 ADVICE: TDG1 blobs written by the double-era code
+        ('<ddI' under the old magic, everything since 1aecc9d before the
+        TDG2 bump) must decode with the correct n, not int64-reinterpreted
+        garbage (100.0 bits -> ~4.6e18)."""
+        import struct
+
+        import numpy as np
+
+        from associationabacminer_spark.sketch.tdigest import TDigest
+
+        means = np.array([1.0, 2.0, 3.0])
+        weights = np.array([400.0, 300.0, 300.0])
+        blob = (
+            b"TDG1"
+            + struct.pack("<ddI", 200.0, 1000.0, 3)
+            + means.astype("<f8").tobytes()
+            + weights.astype("<f8").tobytes()
+        )
+        td = TDigest.deserialize(blob)
+        assert td.n == 1000
+        # fractional n (weighted updates) survives too
+        blob_f = (
+            b"TDG1"
+            + struct.pack("<ddI", 200.0, 999.5, 3)
+            + means.astype("<f8").tobytes()
+            + np.array([400.0, 300.0, 299.5]).astype("<f8").tobytes()
+        )
+        assert TDigest.deserialize(blob_f).n == 999.5
+        # empty digest (tie case): prefers the double read, n == 0
+        empty = b"TDG1" + struct.pack("<ddI", 200.0, 0.0, 0)
+        assert TDigest.deserialize(empty).n == 0
+
     def test_tdigest_v2_magic_and_roundtrip(self):
         import numpy as np
 
@@ -630,3 +663,24 @@ class TestMisraGries:
         for key, f in truth.most_common(20):
             est = int(merged.query(np.array([key], dtype=object))[0])
             assert est <= f <= est + merged.error_bound()
+
+    def test_nonpositive_counts_dropped(self):
+        """Round-4 ADVICE: explicit zero/negative counts must not corrupt
+        total/err accounting or leave non-positive counters in state."""
+        import numpy as np
+
+        from associationabacminer_spark.sketch import MisraGries
+
+        s = MisraGries(k=8).update_batch(
+            np.array(["a", "b", "c", "d"], dtype=object),
+            counts=np.array([5, 0, -3, 2]),
+        )
+        assert s.total == 7  # only the positive mass
+        assert (s.counts > 0).all()
+        assert int(s.query(np.array(["a"], dtype=object))[0]) == 5
+        assert int(s.query(np.array(["c"], dtype=object))[0]) == 0
+        # an all-non-positive batch is a no-op
+        t = MisraGries(k=8).update_batch(
+            np.array(["x"], dtype=object), counts=np.array([0])
+        )
+        assert t.total == 0 and len(t.keys) == 0
