@@ -734,19 +734,39 @@ def q31(spark, sf_dir):
       FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
             FROM documents WHERE doc_id < 200)
     ),
-    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(COUNT(*) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE), 6) AS jaccard
-    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-    HAVING COUNT(*) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= 0.2
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 3),
+    exf AS (SELECT ex.doc_id, ex.s FROM ex ANTI JOIN hot USING (s)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles))
+                 / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                        AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))
+          / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                 AS DOUBLE) >= 0.2
     """,
 )
 def q32(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (exact form; the LSH scale path is
-    q38/tests).  Restricted to doc_id < 200 to bound the oracle."""
+    s43/tests).  Restricted to doc_id < 200 to bound the oracle.
+
+    Round-4: exercises the CAPPED scale path (max_shingle_df=3 — hot
+    shingles with document frequency > 3 are excluded from candidate
+    generation; 30-54 shingles are provably dropped at the driver SFs)
+    under a driver hash verdict.  The oracle applies the identical
+    exclusion at candidate stage but computes jaccard EXACTLY from the
+    full shingle arrays, mirroring the operator's prune-then-exact
+    design (reference capping rationale:
+    /root/reference/src/job/job_generator.py:115)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.2, max_shingle_df=3
+    )
 
 
 # =========================================================================
@@ -2183,7 +2203,9 @@ def q74(spark, sf_dir):
                      FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS sh
       FROM toks
     ),
-    train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0),
+    train AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh
+                              WHERE doc_id % 10 <> 0)
+              GROUP BY sh HAVING COUNT(*) <= 2),
     test AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 10 = 0)
     SELECT DISTINCT doc_id FROM test JOIN train USING (sh)
     """,
@@ -2191,13 +2213,19 @@ def q74(spark, sf_dir):
 def q75(spark, sf_dir):
     """GPT-3-style decontamination: held-out docs (doc_id % 10 == 0)
     sharing any word 5-gram with the train split.  Shingle equi-join +
-    left_semi — no document pair join."""
+    left_semi — no document pair join.
+
+    Round-4: exercises the CAPPED scale path (max_shingle_df=2 — train
+    shingles appearing in > 2 train docs are dropped from the join keys;
+    1-74 shingles are provably dropped at the driver SFs) under a driver
+    hash verdict, with the identical document-frequency exclusion in the
+    oracle."""
     from associationabacminer_spark.operators.decontaminate import contaminated_ids
 
     d = _t(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 10 != 0)
     test = d.filter(F.col("doc_id") % 10 == 0)
-    return contaminated_ids(train, test, "text", "doc_id", n=5)
+    return contaminated_ids(train, test, "text", "doc_id", n=5, max_shingle_df=2)
 
 
 @query("q76_diversity_sample")

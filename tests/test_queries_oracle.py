@@ -155,3 +155,42 @@ def test_gate_window_all_oracled_and_aliases_resolve():
     for old, new in Q.ALIASES.items():
         assert new in Q.QUERIES, (old, new)
         assert Q.resolve(old) is Q.QUERIES[new]
+
+
+def test_gated_caps_actually_drop_hot_shingles(spark):
+    """q32/q42 carry the scale-path caps (max_shingle_df=3 / 2) into the
+    driver gate.  That only exercises the capped code path if the hot set
+    is non-empty on the driver's data — assert it stays that way, so a
+    testdata regen can't silently turn the capped queries back into the
+    uncapped path."""
+    from pyspark.sql import functions as F
+
+    from associationabacminer_spark.functions.text import word_ngrams
+    from associationabacminer_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    ex32 = (
+        d.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("sh"),
+        )
+        .groupBy("sh")
+        .count()
+        .filter(F.col("count") > 3)
+        .count()
+    )
+    assert ex32 > 0, "q32 cap (df>3) drops nothing at sf0.01 — cap path idle"
+    ex42 = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("sh"),
+        )
+        .distinct()
+        .groupBy("sh")
+        .count()
+        .filter(F.col("count") > 2)
+        .count()
+    )
+    assert ex42 > 0, "q42 cap (df>2) drops nothing at sf0.01 — cap path idle"
