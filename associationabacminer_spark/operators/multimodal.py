@@ -31,10 +31,20 @@ except ImportError:  # pragma: no cover - depends on environment
     _PILImage = None
     HAS_PIL = False
 
+try:  # stdlib WAV reader — no new dependency; real PCM decode
+    import wave as _wave
+
+    HAS_WAVE = True
+except ImportError:  # pragma: no cover - stdlib, effectively always present
+    _wave = None
+    HAS_WAVE = False
+
 
 def probe_codecs() -> dict[str, bool]:
-    """Which real decoders are available in this environment."""
-    return {"image": HAS_PIL}
+    """Which real decoders are available in this environment.  Video
+    remains a deterministic fake (ffmpeg is not probed — nothing imports
+    it here); audio covers PCM WAV via the stdlib ``wave`` module."""
+    return {"image": HAS_PIL, "audio": HAS_WAVE, "video": False}
 
 MEDIA_SCHEMA = (
     "media_id long, payload binary, media_type string, "
@@ -105,6 +115,50 @@ def _pil_decode(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _wave_decode(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real PCM WAV decode via the stdlib ``wave`` module.  Column
+    mapping onto the generic DECODED_SCHEMA: ``width`` = sample rate
+    (Hz), ``height`` = channel count, ``n_frames`` = audio frames;
+    ``feature`` = 8-segment RMS envelope normalized to peak (int16/int8
+    PCM), so a silent file yields zeros and any payload is scale-free."""
+    rates, chans, frames, feats = [], [], [], []
+    for payload in pdf["payload"]:
+        with _wave.open(io.BytesIO(payload), "rb") as w:
+            rates.append(w.getframerate())
+            chans.append(w.getnchannels())
+            n = w.getnframes()
+            frames.append(n)
+            raw = w.readframes(n)
+            width = w.getsampwidth()
+        if width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        elif width == 1:  # 8-bit WAV is unsigned
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        else:
+            raise NotImplementedError(
+                f"PCM sample width {width} bytes unsupported (use 8/16-bit)"
+            )
+        if len(samples) == 0:
+            feats.append(np.zeros(8, dtype=np.float32))
+            continue
+        segs = np.array_split(samples, 8)
+        rms = np.array([np.sqrt(np.mean(s * s)) if len(s) else 0.0 for s in segs])
+        peak = np.abs(samples).max()
+        feats.append((rms / peak if peak > 0 else rms).astype(np.float32))
+    n_bytes = pdf["payload"].str.len().astype("int64")
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": n_bytes,
+            "width": pd.Series(rates, dtype="int32", index=pdf.index),
+            "height": pd.Series(chans, dtype="int32", index=pdf.index),
+            "n_frames": pd.Series(frames, dtype="int32", index=pdf.index),
+            "feature": feats,
+        }
+    )
+
+
 def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> DataFrame:
     """Decode + feature-extract stage over ``mapInPandas``.
 
@@ -113,15 +167,22 @@ def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> Da
     vectorization) is exercised end-to-end with byte-reproducible
     output.  ``codec="image"`` decodes real image payloads via Pillow
     when the import probe found it, and raises ImportError otherwise.
-    ``strict=True`` with the fake codec raises NotImplementedError at
-    the exact point a real decoder would run — the marked integration
-    point for codecs this container lacks (ffmpeg/torchaudio)."""
-    if codec not in ("fake", "image"):
+    ``codec="audio"`` decodes real PCM WAV payloads via the stdlib
+    ``wave`` module (no extra dependency).  ``strict=True`` with the
+    fake codec raises NotImplementedError at the exact point a real
+    decoder would run — the marked integration point for codecs this
+    container lacks (ffmpeg for video)."""
+    if codec not in ("fake", "image", "audio"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "image" and not HAS_PIL:
         raise ImportError(
             "decode_media(codec='image') requires Pillow, which probe_codecs() "
             "did not find in this environment"
+        )
+    if codec == "audio" and not HAS_WAVE:  # pragma: no cover - stdlib
+        raise ImportError(
+            "decode_media(codec='audio') requires the stdlib wave module, "
+            "which probe_codecs() did not find in this environment"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -129,10 +190,14 @@ def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> Da
             if codec == "image":
                 yield _pil_decode(pdf)
                 continue
+            if codec == "audio":
+                yield _wave_decode(pdf)
+                continue
             if strict:
                 raise NotImplementedError(
                     "real media decode requires codec libraries not present "
-                    "in this environment (Pillow/ffmpeg); plug in here"
+                    "in this environment (ffmpeg for video; use codec='image'/"
+                    "'audio' for the real Pillow/wave paths); plug in here"
                 )
             geo = _fake_decode(pdf["payload"], pdf["media_type"])
             # 8-dim fake feature vector: scaled byte-length harmonics
