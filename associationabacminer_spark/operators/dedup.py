@@ -122,28 +122,50 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 32, n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).  One explode + one groupBy with num_perm
-    JVM-side min aggregates — no Python in the row path."""
-    exploded = df.select(
+    xxhash64(shingle, seed=i).
+
+    Computed PER-ROW (``array_min`` over ``transform``): a document's
+    signature depends only on its own shingles, so no shuffle exists —
+    the signature stage is a narrow map fused into whole-stage codegen.
+    (The previous explode+groupBy formulation shipped every
+    (doc, shingle) pair through a hash-aggregate exchange — ~50 GB of
+    shuffle at 59M docs — to compute byte-identical values; the round-4
+    rewrite removed it.  Docs with no shingles are dropped, matching the
+    old explode semantics.)"""
+    shingled = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("sh"),
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
-    sig = exploded.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
-    )
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    def perm_min(i: int):
+        # NB: the lambda must take exactly one arg — pyspark treats a
+        # two-arg transform lambda as (element, index) and would shadow
+        # the permutation seed with the array index
+        seed = F.lit(i)
+        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, seed)))
+
+    sig = F.array(*[perm_min(i) for i in range(num_perm)])
+    return shingled.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sig_df: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
-    """Band the signatures and equi-join on (band, band_hash): documents
+    """Band the signatures and bucket on (band, band_hash): documents
     agreeing on any full band become candidates.  This is the scale path
-    — shuffle is an equi-join on a hashed band key, never O(n^2)."""
+    — shuffle is a hash on the band key, never O(n^2).
+
+    Round-4: pairs are generated from a single groupBy bucket (one
+    shuffle of the banded rows) instead of the previous two-sided
+    self-join (which shuffled the banded table twice — ~46 GB at 59M
+    docs).  ``max_bucket_size`` drops buckets above the cap before pair
+    expansion: a bucket of B identical-band docs emits B(B-1)/2 pairs
+    (the hot-key bomb), and with exact dedup upstream any bucket that
+    large is boilerplate whose near-dup pairs are recoverable from its
+    rarer bands.  None disables the cap (exact parity with the old
+    join)."""
     banded = sig_df.select(
         "doc_id",
         F.posexplode(
@@ -163,12 +185,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # all pairs within a bucket: (i-th, each later element); ids sorted so
+    # id_a < id_b holds without a least/greatest pass
+    e1 = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        e1.select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))  # guards duplicate input ids
         .distinct()
     )
 

@@ -62,6 +62,97 @@ class TestDedup:
         assert lsh <= exact
         assert (2, 3) in lsh  # identical docs always collide
 
+    def test_minhash_signatures_zero_shuffle_and_parity(self, docs, spark):
+        """Round-4 rewrite: signatures are computed per-row (array_min of
+        transform) with NO exchange in the plan, and are byte-identical
+        to the old explode+groupBy formulation."""
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.functions.text import word_ngrams
+
+        new = dedup.minhash_signatures(docs, "text", "doc_id", num_perm=16, n=3)
+        plan = new._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # old formulation, inlined: explode + groupBy(min) per permutation
+        exploded = docs.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(word_ngrams(F.col("text"), 3))).alias("sh"),
+        )
+        old = (
+            exploded.groupBy("doc_id")
+            .agg(*[
+                F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+                for i in range(16)
+            ])
+            .select(
+                "doc_id", F.array(*[F.col(f"h{i}") for i in range(16)]).alias("sig")
+            )
+        )
+        a = {r["doc_id"]: list(r["sig"]) for r in new.collect()}
+        b = {r["doc_id"]: list(r["sig"]) for r in old.collect()}
+        assert a == b
+        # word_ngrams edge semantics carry over: short text yields one
+        # whole-text shingle; null text yields a single [null] shingle
+        # (xxhash64 skips nulls -> seed-only hash) — both kept, exactly
+        # as the old explode path kept them
+        tiny = spark.createDataFrame(
+            [(99, "one two"), (100, None)], "doc_id long, text string"
+        )
+        out = dedup.minhash_signatures(tiny, "text", "doc_id", num_perm=4, n=3)
+        rows = {r["doc_id"]: list(r["sig"]) for r in out.collect()}
+        assert set(rows) == {99, 100}
+        assert all(v is not None for sig in rows.values() for v in sig)
+
+    def test_lsh_candidate_pairs_bucket_parity_and_cap(self, docs, spark):
+        """Round-4 rewrite: bucket-expansion pairs (one shuffle) must
+        equal the old two-sided band self-join, and the hot-bucket cap
+        must drop oversized buckets."""
+        from pyspark.sql import functions as F
+
+        sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_perm=16, n=3)
+        new = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(
+                sigs, bands=8, rows_per_band=2, max_bucket_size=None
+            ).collect()
+        }
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.element_at("sig", b * 2 + r + 1) for r in range(2)],
+                            )
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+        a = banded.select(F.col("doc_id").alias("id_a"), "band", "band_hash")
+        b = banded.select(F.col("doc_id").alias("id_b"), "band", "band_hash")
+        old = {
+            (r["id_a"], r["id_b"])
+            for r in a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .collect()
+        }
+        assert new == old and len(new) > 0
+        # identical texts agree on EVERY band: a cap below the bucket size
+        # must drop those pairs entirely (all their buckets are the same set)
+        ident = spark.createDataFrame(
+            [(i, "the same text repeated here") for i in range(5)],
+            "doc_id long, text string",
+        )
+        isigs = dedup.minhash_signatures(ident, "text", "doc_id", num_perm=16, n=3)
+        assert dedup.lsh_candidate_pairs(isigs, 8, 2, max_bucket_size=4).count() == 0
+        assert dedup.lsh_candidate_pairs(isigs, 8, 2, max_bucket_size=5).count() == 10
+
     def test_simhash_identical_and_near(self, docs):
         sim = dedup.simhash64(docs, "text", "doc_id")
         vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
