@@ -41,10 +41,13 @@ except ImportError:  # pragma: no cover - stdlib, effectively always present
 
 
 def probe_codecs() -> dict[str, bool]:
-    """Which real decoders are available in this environment.  Video
-    remains a deterministic fake (ffmpeg is not probed — nothing imports
-    it here); audio covers PCM WAV via the stdlib ``wave`` module."""
-    return {"image": HAS_PIL, "audio": HAS_WAVE, "video": False}
+    """Which real decoders are available in this environment.  Audio
+    covers PCM WAV via the stdlib ``wave`` module; video covers
+    uncompressed Y4M (YUV4MPEG2) via a pure-Python parser — both need no
+    extra dependency, so they are always True.  Compressed video
+    (ffmpeg territory) is NOT claimed: feeding a non-Y4M payload to
+    ``codec="video"`` raises ValueError at the magic check."""
+    return {"image": HAS_PIL, "audio": HAS_WAVE, "video": True}
 
 MEDIA_SCHEMA = (
     "media_id long, payload binary, media_type string, "
@@ -159,6 +162,78 @@ def _wave_decode(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _y4m_decode(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real uncompressed-video decode: Y4M (YUV4MPEG2), pure Python.
+
+    Container layout (public spec, mjpegtools): an ASCII stream header
+    ``YUV4MPEG2 W<w> H<h> F<num>:<den> ...\\n`` followed by frames, each
+    ``FRAME[ params]\\n`` + raw planar YUV.  Only 4:2:0 (default, frame
+    payload w*h*3/2) and mono/4:4:4 via the C param are handled — the
+    formats an uncompressed pipeline actually emits.  ``feature`` = mean
+    luma (Y plane, scaled to [0,1]) of up to the first 8 frames, padded
+    with zeros — a real per-frame statistic a frame-sampling stage would
+    compute after a real decode."""
+    widths, heights, frames, feats = [], [], [], []
+    for payload in pdf["payload"]:
+        if not payload.startswith(_Y4M_MAGIC):
+            raise ValueError(
+                "codec='video' handles uncompressed Y4M only; compressed "
+                "containers need ffmpeg, which this environment lacks"
+            )
+        nl = payload.index(b"\n")
+        header = payload[len(_Y4M_MAGIC) : nl].decode("ascii")
+        w = h = None
+        chroma = "420"
+        for tok in header.split():
+            if tok[0] == "W":
+                w = int(tok[1:])
+            elif tok[0] == "H":
+                h = int(tok[1:])
+            elif tok[0] == "C":
+                chroma = tok[1:]
+        if not w or not h:
+            raise ValueError("Y4M header missing W/H")
+        if chroma.startswith("420"):
+            frame_bytes = w * h * 3 // 2
+        elif chroma == "444":
+            frame_bytes = w * h * 3
+        elif chroma == "mono":
+            frame_bytes = w * h
+        else:
+            raise NotImplementedError(f"Y4M chroma subsampling C{chroma}")
+        pos, n, lumas = nl + 1, 0, []
+        while pos < len(payload):
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"Y4M frame marker missing at offset {pos}")
+            pos = payload.index(b"\n", pos) + 1
+            if n < 8:  # luma stats for the sampled head only
+                y = np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8)
+                lumas.append(float(y.mean()) / 255.0)
+            pos += frame_bytes
+            n += 1
+        widths.append(w)
+        heights.append(h)
+        frames.append(n)
+        feats.append(
+            np.asarray(lumas + [0.0] * (8 - len(lumas)), dtype=np.float32)
+        )
+    n_bytes = pdf["payload"].str.len().astype("int64")
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": n_bytes,
+            "width": pd.Series(widths, dtype="int32", index=pdf.index),
+            "height": pd.Series(heights, dtype="int32", index=pdf.index),
+            "n_frames": pd.Series(frames, dtype="int32", index=pdf.index),
+            "feature": feats,
+        }
+    )
+
+
 def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> DataFrame:
     """Decode + feature-extract stage over ``mapInPandas``.
 
@@ -168,11 +243,13 @@ def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> Da
     output.  ``codec="image"`` decodes real image payloads via Pillow
     when the import probe found it, and raises ImportError otherwise.
     ``codec="audio"`` decodes real PCM WAV payloads via the stdlib
-    ``wave`` module (no extra dependency).  ``strict=True`` with the
-    fake codec raises NotImplementedError at the exact point a real
-    decoder would run — the marked integration point for codecs this
-    container lacks (ffmpeg for video)."""
-    if codec not in ("fake", "image", "audio"):
+    ``wave`` module; ``codec="video"`` decodes real uncompressed Y4M
+    payloads via a pure-Python parser (neither needs a new dependency).
+    ``strict=True`` with the fake codec raises NotImplementedError at
+    the exact point a real decoder would run — the marked integration
+    point for codecs this container lacks (ffmpeg for compressed
+    video)."""
+    if codec not in ("fake", "image", "audio", "video"):
         raise ValueError(f"unknown codec {codec!r}")
     if codec == "image" and not HAS_PIL:
         raise ImportError(
@@ -192,6 +269,9 @@ def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> Da
                 continue
             if codec == "audio":
                 yield _wave_decode(pdf)
+                continue
+            if codec == "video":
+                yield _y4m_decode(pdf)
                 continue
             if strict:
                 raise NotImplementedError(
