@@ -185,13 +185,21 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # Phase 1: bucket sizes via a fixed-width count aggregate — spillable
+    # Tungsten hash agg, bounded memory even with ~rows*bands mostly-
+    # singleton keys (a collect_list-first formulation OOMs here: the
+    # partial aggregation buffers a list per key).  Phase 2: only rows in
+    # surviving buckets (non-singleton, under the cap — rare by
+    # construction after exact dedup upstream) reach collect_list; the
+    # survivors side auto-broadcasts when small.
+    sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
+    keep = sizes.filter(F.col("n") > 1)
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+        keep = keep.filter(F.col("n") <= max_bucket_size)
+    survivors = banded.join(keep.select("band", "band_hash"), ["band", "band_hash"])
+    buckets = survivors.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     # all pairs within a bucket: (i-th, each later element); ids sorted so
     # id_a < id_b holds without a least/greatest pass
     e1 = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
