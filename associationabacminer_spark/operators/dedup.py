@@ -185,19 +185,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    # Phase 1: bucket sizes via a fixed-width count aggregate — spillable
-    # Tungsten hash agg, bounded memory even with ~rows*bands mostly-
-    # singleton keys (a collect_list-first formulation OOMs here: the
-    # partial aggregation buffers a list per key).  Phase 2: only rows in
-    # surviving buckets (non-singleton, under the cap — rare by
-    # construction after exact dedup upstream) reach collect_list; the
-    # survivors side auto-broadcasts when small.
-    sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
-    keep = sizes.filter(F.col("n") > 1)
+    # Bucket-size filter BEFORE any collect_list, in ONE pass: a window
+    # count over the bucket key shuffles banded once (spill-safe row
+    # buffer per group), drops the ~rows*bands singleton buckets, and the
+    # groupBy that follows requires the exact partitioning the window
+    # already established — EnsureRequirements inserts no second
+    # Exchange, so the expensive signature map upstream runs exactly
+    # once.  (A collect_list-first formulation OOMs at 59M docs — the
+    # partial aggregation buffers a list per mostly-singleton key; a
+    # count-aggregate + self-join formulation recomputes the signature
+    # scan twice.  Plan-asserted single-Exchange in tests.)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    filtered = banded.withColumn("n", F.count("*").over(w)).filter(F.col("n") > 1)
     if max_bucket_size is not None:
-        keep = keep.filter(F.col("n") <= max_bucket_size)
-    survivors = banded.join(keep.select("band", "band_hash"), ["band", "band_hash"])
-    buckets = survivors.groupBy("band", "band_hash").agg(
+        filtered = filtered.filter(F.col("n") <= max_bucket_size)
+    buckets = filtered.groupBy("band", "band_hash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     # all pairs within a bucket: (i-th, each later element); ids sorted so

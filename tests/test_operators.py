@@ -143,6 +143,16 @@ class TestDedup:
             .collect()
         }
         assert new == old and len(new) > 0
+        # one Exchange for the window/groupBy bucket key (shared — the
+        # groupBy reuses the window's partitioning, so the signature map
+        # runs once) + one for the final pair distinct, nothing else
+        cand_plan = (
+            dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert cand_plan.count("Exchange") == 2, cand_plan
         # identical texts agree on EVERY band: a cap below the bucket size
         # must drop those pairs entirely (all their buckets are the same set)
         ident = spark.createDataFrame(
