@@ -68,9 +68,31 @@ def ensure_transcripts(spark, path: str) -> None:
     ).parquet(path)
 
 
+def cpu_control_sample() -> float:
+    """~1.5 s single-core numpy burn, returns work-units/sec.  Embedded in
+    the bench output so every BENCH_r{N}.json carries its own host-health
+    indicator: a throttled window (readings well below the ~700-800
+    units/s healthy band measured on this box) is then distinguishable
+    from a code regression without a separate control run (round-3
+    VERDICT item 2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((400, 400))
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.5:
+        a = a @ a
+        a /= np.abs(a).max() + 1.0  # keep finite
+        n += 1
+    return round(n / (time.perf_counter() - t0), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    control_pre = cpu_control_sample()
 
     from associationabacminer_spark.session import get_spark
 
@@ -125,6 +147,8 @@ def main() -> None:
         "sketch_rows": n_rows,
         "cores": int(cpus),
     }
+    out["cpu_control_pre"] = control_pre
+    out["cpu_control_post"] = cpu_control_sample()
     out.update(latest_scaling_evidence())
     print(json.dumps(out))
     spark.stop()
