@@ -50,7 +50,16 @@ def run_chain(spark, path: str) -> dict:
             F.col("role").alias("source"),
         ).cache()
     s = time.monotonic()
-    stage("input", docs.count(), s)
+    n_input = docs.count()
+    stage("input", n_input, s)
+
+    # production partitioning: scale shuffle partitions with the input
+    # (~400k rows each, AQE coalesces overshoot).  At the 59M rung this
+    # cuts the spill-bound decontaminate stage ~14% (292 s vs 341 s at
+    # the fixed session default of 32; measured round 4).
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(32, n_input // 400_000))
+    )
 
     s = time.monotonic()
     uniq = dedup.exact_dedup(docs, "text", "doc_id").cache()
