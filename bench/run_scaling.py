@@ -154,7 +154,7 @@ def main() -> None:
         f.write(
             f"\n| {r_lo['rows']} | local[{lo}] | {r_lo['seconds']} | {r_lo['turns_per_sec']} | "
             f"local[{hi}] | {r_hi['seconds']} | {r_hi['turns_per_sec']} | {round(speedup,3)} | "
-            f"{round(efficiency,3)} | {'PASS' if result['pass'] else 'FAIL'} ({args.mode}) |"
+            f"{round(efficiency,3)} | {'PASS' if result['pass'] else 'FAIL'} ({args.mode}) |\n"
         )
 
 
