@@ -147,6 +147,112 @@ def minhash_signatures(
     return shingled.select("doc_id", sig.alias("sig"))
 
 
+def minhash_signatures_oph(
+    df: DataFrame, text_col: str, id_col: str, num_buckets: int = 64, n: int = 3
+) -> DataFrame:
+    """One-permutation MinHash signatures (Li/Owen/Zhang, NIPS 2012)
+    with minimum-rehash densification — the large-corpus scale path.
+
+    The classic formulation hashes every shingle ``num_perm`` times
+    (O(num_perm) per shingle, ~2000 interpreted expression evals per
+    document at num_perm=64).  OPH hashes each shingle ONCE (JVM-side
+    codegen ``xxhash64``), splits the hash's top bits into a bucket
+    index, and takes the min per bucket: sig[b] = min{h : bucket(h)=b}.
+    Empty buckets (docs with fewer shingles than buckets) are filled by
+    remixing the document's global min with the bucket index
+    (splitmix64) — two documents sharing their global minimum (an event
+    with probability equal to their Jaccard, the same estimator MinHash
+    itself uses) agree on their fills, so banding retains its
+    collision-vs-similarity behavior; per-slot agreement for distinct
+    minima is ~0 as with independent permutations.
+
+    The scatter-min runs VECTORIZED in numpy over Arrow batches
+    (``mapInPandas``): per-shingle work is O(1) — flatten the batch's
+    hash lists, ``np.minimum.at`` into a (rows x buckets) matrix,
+    densify with array ops.  No shuffle, no per-row Python loops.
+    Output schema matches :func:`minhash_signatures` (``doc_id, sig``),
+    so :func:`lsh_candidate_pairs` consumes it unchanged with
+    ``bands * rows_per_band == num_buckets``."""
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    shift = 64 - int(num_buckets).bit_length() + 1  # top log2(nb) bits
+    # Shingle IDENTITY is hash-based here: hash each token once, then a
+    # shingle hash is xxhash64 over the n consecutive token hashes — no
+    # n-gram string is ever sliced/joined/allocated (profiled: string
+    # shingle construction, not hashing, dominated the classic stage).
+    # Duplicate shingles are NOT deduped: min is idempotent, so
+    # array_distinct would be pure cost.  Short texts (< n tokens) fall
+    # back to one whole-text shingle, mirroring word_ngrams semantics.
+    # (Chained projections keep `toks`/`th` as bound attributes — inlining
+    # them as raw expressions re-evaluates the token-hash array once PER
+    # INDEX inside the transform lambda, an O(tokens^2) trap measured at
+    # 2.5x the whole stage.)
+    tokd = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    thd = tokd.select(
+        "doc_id",
+        "toks",
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
+    )
+    k = F.size(F.col("th")) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(1), F.lit(0)))
+    ngram_hashes = F.when(
+        k <= 0, F.array(F.xxhash64(F.array_join(F.col("toks"), " ")))
+    ).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("th"), i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    # NB: no DataFrame-level `size(hs) > 0` filter — predicate pushdown
+    # slides it below the projections and re-evaluates the whole shingle
+    # pipeline once per row just to test emptiness (measured 2x the
+    # stage); null/empty rows are skipped inside the scatter instead.
+    hashed = thd.select("doc_id", ngram_hashes.alias("hs"))
+
+    def scatter(batches):
+        import numpy as np
+        import pandas as pd
+
+        from associationabacminer_spark.sketch.hashing import splitmix64
+
+        nb = num_buckets
+        maxv = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = [
+                (i, np.asarray(a, dtype=np.int64))
+                for i, a in enumerate(pdf["hs"])
+                if a is not None and len(a) > 0
+            ]
+            if not keep:
+                continue
+            pdf = pdf.iloc[[i for i, _ in keep]]
+            arrs = [a for _, a in keep]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs).view(np.uint64)
+            rows = np.repeat(np.arange(len(arrs)), lens)
+            buckets = (flat >> np.uint64(shift)).astype(np.int64)
+            sig = np.full((len(arrs), nb), maxv, dtype=np.uint64)
+            np.minimum.at(sig, (rows, buckets), flat)
+            gmin = sig.min(axis=1)  # >=1 bucket filled per row (hs nonempty)
+            empty = sig == maxv
+            fills = splitmix64(
+                gmin[:, None] ^ (np.arange(nb, dtype=np.uint64)[None, :])
+            )
+            sig = np.where(empty, fills, sig).view(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": list(sig)}
+            )
+
+    return hashed.mapInPandas(scatter, schema="doc_id long, sig array<bigint>")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 8,
@@ -225,11 +331,21 @@ def minhash_lsh_dedup(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "classic",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
-    pairs -> exact Jaccard re-check of candidates only."""
+    pairs -> exact Jaccard re-check of candidates only.
+
+    ``method="oph"`` swaps in one-permutation signatures
+    (:func:`minhash_signatures_oph`, num_perm as the bucket count) —
+    O(1) hashing per shingle instead of O(num_perm); candidates differ
+    statistically but every reported pair is still exact-Jaccard
+    re-checked, so precision is identical."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm, n=n)
+    if method == "oph":
+        sigs = minhash_signatures_oph(df, text_col, id_col, num_buckets=num_perm, n=n)
+    else:
+        sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm, n=n)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     sh = df.select(
         F.col(id_col).alias("doc_id"),

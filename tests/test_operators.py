@@ -163,6 +163,69 @@ class TestDedup:
         assert dedup.lsh_candidate_pairs(isigs, 8, 2, max_bucket_size=4).count() == 0
         assert dedup.lsh_candidate_pairs(isigs, 8, 2, max_bucket_size=5).count() == 10
 
+    def test_oph_signatures_estimate_jaccard(self, spark):
+        """One-permutation MinHash (round 4): per-slot agreement rate of
+        the OPH signature estimates Jaccard, identical docs collide on
+        every slot, and docs with fewer shingles than buckets densify
+        deterministically (no sentinel values leak)."""
+        import numpy as np
+
+        base = [f"tok{i}" for i in range(400)]
+        # two docs sharing 50% of tokens -> 3-gram jaccard is lower but
+        # stable; compute truth from the exact operator
+        d_a = " ".join(base)
+        d_b = " ".join(base[:200] + [f"alt{i}" for i in range(200)])
+        df = spark.createDataFrame(
+            [(0, d_a), (1, d_b), (2, d_a)], "doc_id long, text string"
+        )
+        truth = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=0.0
+            ).collect()
+        }
+        sigs = {
+            r["doc_id"]: np.array(r["sig"])
+            for r in dedup.minhash_signatures_oph(
+                df, "text", "doc_id", num_buckets=256, n=3
+            ).collect()
+        }
+        assert (sigs[0] == sigs[2]).all()  # identical docs, all slots
+        agree = float((sigs[0] == sigs[1]).mean())
+        j = truth[(0, 1)]
+        # binomial 3-sigma band around the true jaccard at 256 slots
+        assert abs(agree - j) < 3 * np.sqrt(j * (1 - j) / 256) + 0.02, (agree, j)
+        # short doc: fewer shingles than buckets -> densified, no MAX
+        short = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+        s1 = dedup.minhash_signatures_oph(short, "text", "doc_id", 64, n=3)
+        s2 = dedup.minhash_signatures_oph(short, "text", "doc_id", 64, n=3)
+        a1 = np.array(s1.collect()[0]["sig"], dtype=np.int64)
+        a2 = np.array(s2.collect()[0]["sig"], dtype=np.int64)
+        assert (a1 == a2).all()  # deterministic
+        assert len(set(a1.tolist())) > 1  # fills vary by bucket index
+        with pytest.raises(ValueError, match="power of two"):
+            dedup.minhash_signatures_oph(short, "text", "doc_id", 48)
+
+    def test_oph_lsh_dedup_end_to_end(self, docs):
+        """minhash_lsh_dedup(method='oph') through banding + the exact
+        re-check: identical docs always collide; reported pairs are a
+        subset of the exact-Jaccard pairs (no false positives)."""
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.5
+            ).collect()
+        }
+        oph = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_dedup(
+                docs, "text", "doc_id", num_perm=32, bands=16, n=3,
+                threshold=0.5, method="oph",
+            ).collect()
+        }
+        assert oph <= exact
+        assert (2, 3) in oph  # identical docs
+
     def test_simhash_identical_and_near(self, docs):
         sim = dedup.simhash64(docs, "text", "doc_id")
         vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
