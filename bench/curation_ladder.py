@@ -66,8 +66,11 @@ def run_chain(spark, path: str) -> dict:
     stage("exact_dedup", uniq.count(), s)
 
     s = time.monotonic()
+    # method="oph": the one-permutation scale path (O(1) hashing per
+    # shingle; 6x the classic signature throughput — see dedup.py)
     pairs = dedup.minhash_lsh_dedup(
-        uniq, "text", "doc_id", num_perm=64, bands=16, threshold=0.8
+        uniq, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
+        method="oph",
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).cache()
     stage("minhash_lsh_pairs", pairs.count(), s)
 
