@@ -347,9 +347,25 @@ def minhash_lsh_dedup(
     else:
         sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm, n=n)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    # exact re-check: build shingle arrays ONLY for docs that appear in a
+    # candidate pair (semi-join first) — string n-gram construction over
+    # the whole corpus costs as much as a full signature pass, and at low
+    # dup rates the candidate set is orders of magnitude smaller
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__text"),
+        )
+        .join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(F.col("__text"), n)).alias("shingles"),
+        )
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
