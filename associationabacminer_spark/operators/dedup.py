@@ -187,7 +187,17 @@ def minhash_signatures_oph(
     # them as raw expressions re-evaluates the token-hash array once PER
     # INDEX inside the transform lambda, an O(tokens^2) trap measured at
     # 2.5x the whole stage.)
-    tokd = df.select(
+    # Null/empty docs are dropped HERE, on the raw base column: a narrow
+    # predicate on the scan (pushdown-safe, no expression re-evaluation —
+    # unlike a size(hs) filter, see below).  Without it every empty doc
+    # gets the same whole-text-fallback signature and they all land in
+    # one identical-signature LSH bucket — a B(B-1)/2 pair bomb contained
+    # only by the bucket cap.  Empty docs have no shingles, hence no
+    # meaningful Jaccard; excluding them matches the exact re-check,
+    # which would score them 0/0 anyway.
+    tokd = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
     )
@@ -331,22 +341,34 @@ def minhash_lsh_dedup(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
-    method: str = "classic",
+    method: str = "oph",
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> exact Jaccard re-check of candidates only.
 
-    ``method="oph"`` swaps in one-permutation signatures
-    (:func:`minhash_signatures_oph`, num_perm as the bucket count) —
-    O(1) hashing per shingle instead of O(num_perm); candidates differ
-    statistically but every reported pair is still exact-Jaccard
-    re-checked, so precision is identical."""
+    ``method="oph"`` (the default, and the documented choice at scale)
+    uses one-permutation signatures (:func:`minhash_signatures_oph`,
+    num_perm as the bucket count) — O(1) hashing per shingle instead of
+    O(num_perm); measured 6x the classic signature stage at 1.2M docs
+    and -40% on the 59M minhash stage.  ``method="classic"`` keeps the
+    per-permutation formulation (useful for small corpora or when exact
+    parity with a classic-MinHash system is required); candidates differ
+    statistically between the two but every reported pair is
+    exact-Jaccard re-checked, so precision is identical either way.
+
+    ``max_bucket_size`` forwards to :func:`lsh_candidate_pairs` — pass
+    ``None`` to disable the hot-bucket cap and recover exact candidate
+    parity with an uncapped banding (at the cost of the B(B-1)/2 pair
+    bomb on pathological buckets)."""
     rows_per_band = num_perm // bands
     if method == "oph":
         sigs = minhash_signatures_oph(df, text_col, id_col, num_buckets=num_perm, n=n)
     else:
         sigs = minhash_signatures(df, text_col, id_col, num_perm=num_perm, n=n)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
     # exact re-check: build shingle arrays ONLY for docs that appear in a
     # candidate pair (semi-join first) — string n-gram construction over
     # the whole corpus costs as much as a full signature pass, and at low

@@ -158,12 +158,19 @@ class TDigest:
             # dominate persisted state.
             delta, n_f, c = struct.unpack("<ddI", data[4:24])
             (n_i,) = struct.unpack("<q", data[12:20])
+            if len(data) < 24 + 16 * c:
+                # fail loudly BEFORE the heuristic: an 8-byte-aligned
+                # truncation would otherwise silently sum fewer than c
+                # weights and could pick the wrong n interpretation
+                raise ValueError("truncated t-digest blob")
             sw = float(
                 np.frombuffer(data[24 + 8 * c : 24 + 16 * c], dtype="<f8").sum()
             )
             n = n_f if abs(n_f - sw) <= abs(float(n_i) - sw) else float(n_i)
         else:
             raise ValueError("not a t-digest blob")
+        if len(data) < 24 + 16 * c:
+            raise ValueError("truncated t-digest blob")
         out = TDigest(delta)
         out.n = int(n) if n == int(n) else n
         off = 24

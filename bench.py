@@ -53,6 +53,9 @@ HEADLINE = [
     "q97_cube_grouping_sets",
     "q98_rolling_avg",
     "q99_robust_stats_mad",
+    # round 5: the one-permutation MinHash scale path (twin of s43, which
+    # stays pinned to classic for round-over-round comparability)
+    "s49_minhash_lsh_oph",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

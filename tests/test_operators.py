@@ -226,6 +226,51 @@ class TestDedup:
         assert oph <= exact
         assert (2, 3) in oph  # identical docs
 
+    def test_oph_drops_null_and_empty_docs(self, spark):
+        """Round-5 ADVICE: null/empty/whitespace-only texts must get NO
+        signature (they have no shingles and would otherwise all share
+        the whole-text-fallback signature — one giant LSH bucket)."""
+        d = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, None),
+                (3, ""),
+                (4, "   "),
+            ],
+            "doc_id long, text string",
+        )
+        sigs = dedup.minhash_signatures_oph(d, "text", "doc_id", 16, n=3)
+        assert [r["doc_id"] for r in sigs.collect()] == [1]
+        # end-to-end: empty docs never pair with each other
+        many_empty = d.union(
+            spark.createDataFrame(
+                [(i, "") for i in range(10, 20)], "doc_id long, text string"
+            )
+        )
+        pairs = dedup.minhash_lsh_dedup(
+            many_empty, "text", "doc_id", num_perm=16, bands=4, n=3,
+            threshold=0.5, method="oph",
+        ).collect()
+        assert pairs == []
+
+    def test_lsh_dedup_bucket_cap_passthrough(self, docs):
+        """max_bucket_size forwards from the pipeline wrapper to
+        lsh_candidate_pairs: cap=1 kills every bucket (pairs need n>1),
+        None disables the cap and recovers the identical-doc pair."""
+        none_found = dedup.minhash_lsh_dedup(
+            docs, "text", "doc_id", num_perm=32, bands=16, n=3,
+            threshold=0.5, method="oph", max_bucket_size=1,
+        ).collect()
+        assert none_found == []
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_dedup(
+                docs, "text", "doc_id", num_perm=32, bands=16, n=3,
+                threshold=0.5, method="oph", max_bucket_size=None,
+            ).collect()
+        }
+        assert (2, 3) in uncapped  # identical docs survive uncapped
+
     def test_simhash_identical_and_near(self, docs):
         sim = dedup.simhash64(docs, "text", "doc_id")
         vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}

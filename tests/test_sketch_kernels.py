@@ -495,6 +495,38 @@ class TestSerdeCompat:
         empty = b"TDG1" + struct.pack("<ddI", 200.0, 0.0, 0)
         assert TDigest.deserialize(empty).n == 0
 
+    def test_tdigest_truncated_blob_raises_loudly(self):
+        """Round-5 ADVICE: a truncated blob must raise the explicit
+        'truncated t-digest blob' error — both eras, both the 8-byte-
+        aligned tail (which would silently sum too few weights in the
+        TDG1 heuristic) and a ragged tail (which used to surface as a
+        confusing np.frombuffer ValueError)."""
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from associationabacminer_spark.sketch.tdigest import TDigest
+
+        means = np.array([1.0, 2.0, 3.0])
+        weights = np.array([400.0, 300.0, 300.0])
+        for magic, head in (
+            (b"TDG1", struct.pack("<ddI", 200.0, 1000.0, 3)),
+            (b"TDG1", struct.pack("<dqI", 200.0, 1000, 3)),
+        ):
+            full = magic + head + means.astype("<f8").tobytes() + weights.astype(
+                "<f8"
+            ).tobytes()
+            for cut in (len(full) - 8, len(full) - 3, 24, 30):
+                with pytest.raises(ValueError, match="truncated t-digest blob"):
+                    TDigest.deserialize(full[:cut])
+        td = TDigest(200.0)
+        td.update_batch(np.arange(100.0))
+        full = td.serialize()
+        assert TDigest.deserialize(full).n == 100  # intact still decodes
+        with pytest.raises(ValueError, match="truncated t-digest blob"):
+            TDigest.deserialize(full[:-8])
+
     def test_tdigest_v2_magic_and_roundtrip(self):
         import numpy as np
 
