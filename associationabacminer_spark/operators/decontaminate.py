@@ -46,8 +46,19 @@ def contaminated_ids(
     id_col: str,
     n: int = 13,
     max_shingle_df: int | None = None,
+    bloom_fpp: float | None = 0.01,
 ) -> DataFrame:
-    """Distinct test ids sharing at least one word n-gram with train."""
+    """Distinct test ids sharing at least one word n-gram with train.
+
+    ``bloom_fpp`` (round 5) turns on a Bloom prefilter built from the
+    engine's own kernel: the reference-side (``train``) shingle-hash set
+    is reduced into a bit array JVM-side, broadcast, and the big
+    ``test``-side shingle stream is probed vectorized BEFORE the
+    semi-join — so the join's shuffle sees only real hits plus an
+    ``fpp`` fraction of false positives instead of the entire exploded
+    corpus (the stage was spill-bound at 59M rows without it).  Bloom
+    filters have no false negatives, so the result set is IDENTICAL to
+    the plain semi-join (property-tested); ``None`` disables it."""
     if max_shingle_df is not None:
         # one pass over train: the doc-frequency count IS the distinct
         # shingle set, so the cap never costs a second corpus scan
@@ -61,6 +72,13 @@ def contaminated_ids(
     else:
         tr = _shingles(train, text_col, id_col, n).select("sh").distinct()
     te = _shingles(test, text_col, id_col, n)
+    if bloom_fpp is not None:
+        from associationabacminer_spark.operators.sql_sketch import bloom_semi_filter
+
+        # cache the reference shingle set: the Bloom build (sizing count
+        # + word-table reduction) and the final semi-join all consume it
+        tr = tr.cache()
+        te = bloom_semi_filter(te, "sh", tr, "sh", fpp=bloom_fpp)
     return (
         te.join(tr, "sh", "left_semi")
         .select(F.col("doc").alias(id_col))
@@ -75,9 +93,12 @@ def decontaminate(
     id_col: str,
     n: int = 13,
     max_shingle_df: int | None = None,
+    bloom_fpp: float | None = 0.01,
 ) -> DataFrame:
     """Test rows with NO long-n-gram overlap against train."""
-    hits = contaminated_ids(train, test, text_col, id_col, n, max_shingle_df)
+    hits = contaminated_ids(
+        train, test, text_col, id_col, n, max_shingle_df, bloom_fpp
+    )
     return test.join(hits, id_col, "left_anti")
 
 
@@ -88,10 +109,13 @@ def decontaminate_train(
     id_col: str,
     n: int = 13,
     max_shingle_df: int | None = None,
+    bloom_fpp: float | None = 0.01,
 ) -> DataFrame:
     """The GPT-3 direction: TRAIN rows with no long-n-gram overlap
     against the evaluation set (the reference-shingle side here is
     ``eval_set``).  Provided because ``decontaminate(a, b)`` filters its
     SECOND argument — call-site argument swaps are silent and this
     wrapper makes the common intent unmistakable."""
-    return decontaminate(eval_set, train, text_col, id_col, n, max_shingle_df)
+    return decontaminate(
+        eval_set, train, text_col, id_col, n, max_shingle_df, bloom_fpp
+    )

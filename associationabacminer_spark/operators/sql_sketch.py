@@ -218,6 +218,61 @@ def bloom_from_sql(df: DataFrame, col: str, m_bits: int, k: int) -> BloomFilter:
     return out
 
 
+def bloom_semi_filter(
+    big: DataFrame,
+    col: str,
+    keys: DataFrame,
+    key_col: str,
+    fpp: float = 0.01,
+    n_keys: int | None = None,
+) -> DataFrame:
+    """Candidate-safe approximate semi-join: rows of ``big`` whose
+    ``col`` MIGHT appear in ``keys[key_col]``.  Bloom filters have zero
+    false negatives, so ``bloom_semi_filter(big, c, keys, k).join(keys,
+    ..., "left_semi")`` returns exactly the same rows as the plain
+    semi-join — the Bloom only pre-drops rows that cannot match, before
+    they reach the join's shuffle.
+
+    Physical shape (the 100-TB path): the filter's bit array is reduced
+    ENTIRELY JVM-side (:func:`bloom_word_table` — at most m/64 rows
+    leave the cluster), broadcast to executors as serialized kernel
+    bytes, and probed with the kernel's vectorized ``contains_pairs``
+    over Arrow batches (``mapInPandas``; the two probe hashes are
+    computed JVM-side with ``xxhash64`` so Python does only the bit
+    lookups).  Against a shuffle-heavy sort-merge semi-join this trades
+    a narrow Arrow round-trip for shuffling + sorting + spilling the
+    full big side; the small side is scanned once extra to size and
+    build the filter (cache it upstream when that scan is expensive).
+
+    Replaces the reference's in-memory allowed-hash membership set
+    (/root/reference/src/eval/EnvPolicyEvaluator.py:192-199) with a
+    distributed build + broadcast probe."""
+    spark = big.sparkSession
+    if n_keys is None:
+        n_keys = keys.select(key_col).distinct().count()
+    proto = BloomFilter.from_capacity(max(1, int(n_keys)), fpp)
+    bf = bloom_from_sql(keys, key_col, proto.m, proto.k)
+    blob = spark.sparkContext.broadcast(bf.serialize())
+    one = F.lit(1).cast("long")
+    with_hashes = big.withColumn("__h1", F.xxhash64(col)).withColumn(
+        "__h2", F.xxhash64(col, one)
+    )
+    out_schema = big.schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(batches):
+        filt = BloomFilter.deserialize(blob.value)  # once per partition
+        for pdf in batches:
+            mask = filt.contains_pairs(
+                pdf["__h1"].to_numpy(), pdf["__h2"].to_numpy()
+            )
+            hit = pdf.loc[mask, out_cols]
+            if len(hit):
+                yield hit
+
+    return with_hashes.mapInPandas(probe, schema=out_schema)
+
+
 def bottomk_from_sql(df: DataFrame, col: str, k: int = 256) -> "BottomK":
     """Bottom-k build with the reduction JVM-side: the k smallest
     distinct xxhash64 values compute as sort_agg/TakeOrdered over a

@@ -1448,6 +1448,63 @@ class TestDecontaminate:
             train, test, "text", "doc_id", n=5).collect()}
         assert all_hits == {200, 201}
 
+    def test_bloom_prefilter_no_false_negatives(self, spark):
+        """Round 5: the Bloom prefilter is candidate-safe — the result
+        set with the prefilter is IDENTICAL to the plain semi-join on a
+        corpus with planted overlaps, for every fpp including an
+        absurdly lossy one (false positives only cost join input, never
+        change the output)."""
+        from associationabacminer_spark.operators.decontaminate import (
+            contaminated_ids,
+        )
+
+        words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+        train = spark.createDataFrame(
+            [(i, " ".join(words[j % 8] for j in range(i, i + 9)))
+             for i in range(40)],
+            "doc_id: long, text: string",
+        )
+        # half the test docs embed a train 5-gram, half are novel
+        test = spark.createDataFrame(
+            [(100 + i, "zz%d " % i + " ".join(words[j % 8] for j in range(i, i + 5)))
+             for i in range(20)]
+            + [(200 + i, " ".join("nov%d_%d" % (i, j) for j in range(9)))
+               for i in range(20)],
+            "doc_id: long, text: string",
+        )
+        plain = {r["doc_id"] for r in contaminated_ids(
+            train, test, "text", "doc_id", n=5, bloom_fpp=None).collect()}
+        assert plain  # the planted overlaps are real
+        for fpp in (0.5, 0.01):
+            with_bloom = {r["doc_id"] for r in contaminated_ids(
+                train, test, "text", "doc_id", n=5, bloom_fpp=fpp).collect()}
+            assert with_bloom == plain
+        # and with the df cap in the same pipeline (the gated q42 shape)
+        plain_cap = {r["doc_id"] for r in contaminated_ids(
+            train, test, "text", "doc_id", n=5, max_shingle_df=3,
+            bloom_fpp=None).collect()}
+        bloom_cap = {r["doc_id"] for r in contaminated_ids(
+            train, test, "text", "doc_id", n=5, max_shingle_df=3,
+            bloom_fpp=0.01).collect()}
+        assert bloom_cap == plain_cap
+
+    def test_bloom_semi_filter_drops_non_members(self, spark):
+        """The prefilter actually filters: with fpp tight and disjoint
+        key sets, (almost) nothing survives to the join input."""
+        from associationabacminer_spark.operators.sql_sketch import (
+            bloom_semi_filter,
+        )
+
+        big = spark.range(0, 2000).select(F.col("id").alias("k"))
+        keys = spark.createDataFrame(
+            [(10_000 + i,) for i in range(50)], "k: long"
+        )
+        kept = bloom_semi_filter(big, "k", keys, "k", fpp=0.001).count()
+        assert kept <= 10  # ~2000 * 0.001 expected false positives
+        # members always survive
+        hits = bloom_semi_filter(big, "k", big.limit(100), "k", fpp=0.001)
+        assert hits.count() >= 100
+
 
 class TestDiversitySample:
     def test_quota_and_determinism(self, spark):

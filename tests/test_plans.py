@@ -288,3 +288,33 @@ class TestRound3QueryPlans:
         assert "Window" in plan
         window_line = plan.split("Window")[1].split("\n")[0]
         assert "windowspecdefinition(user_id" in window_line
+
+
+class TestRound5QueryPlans:
+    @staticmethod
+    def _exec_plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_decontaminate_bloom_prefilter_in_plan(self, spark):
+        """q42 (round 5): the test-side shingle stream passes through the
+        broadcast-Bloom probe (MapInPandas with the JVM-computed probe
+        hashes) BEFORE the semi-join; disabling bloom_fpp removes it."""
+        from associationabacminer_spark.operators.decontaminate import (
+            contaminated_ids,
+        )
+        from associationabacminer_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, SF)["documents"]
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        test = docs.filter(F.col("doc_id") % 2 == 1)
+        with_bloom = contaminated_ids(
+            train, test, "text", "doc_id", n=5, max_shingle_df=2
+        )
+        plan = self._exec_plan(with_bloom)
+        assert "MapInPandas" in plan
+        assert "xxhash64" in plan.lower()
+        without = contaminated_ids(
+            train, test, "text", "doc_id", n=5, max_shingle_df=2,
+            bloom_fpp=None,
+        )
+        assert "MapInPandas" not in self._exec_plan(without)
