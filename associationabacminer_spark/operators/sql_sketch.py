@@ -218,6 +218,141 @@ def bloom_from_sql(df: DataFrame, col: str, m_bits: int, k: int) -> BloomFilter:
     return out
 
 
+def mg_by_group_states(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    capacity: int = 256,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-group Misra-Gries heavy-hitter states: (group_cols...,
+    state binary), one mergeable MG summary of ``col`` per group.
+
+    SQL-reduced build (the per-group twin of :func:`mg_from_sql`,
+    following the hll_estimate_by_group pattern): the raw rows are first
+    collapsed JVM-side by ``groupBy(groups, xxhash64(col)).count()`` —
+    map-side partial aggregation, whole-stage codegen, Arrow transfer
+    proportional to DISTINCT (group, key) pairs, never rows.  The
+    aggregated histogram is then salted on ``pmod(key_hash,
+    salt_buckets)`` so a hot group's distinct keys spread over
+    ``salt_buckets`` bounded kernel builds (MG over exact counts equals
+    the streaming build — mergeable summaries subsume streams, PODS'12),
+    and the per-(group, salt) partials merge per group in sorted-blob
+    order (byte-deterministic regardless of task scheduling).
+
+    Each state stores at most ``capacity`` (key-hash, count) pairs; a
+    group's merged summary guarantees every key with true frequency
+    > n_group/(capacity+1) per partial chain is present, with the exact
+    undercount bound tracked in the state (``err``)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from associationabacminer_spark.sketch.misragries import MisraGries
+
+    gfields = [df.schema[c] for c in group_cols]
+    out_schema = T.StructType(
+        list(gfields) + [T.StructField("state", T.BinaryType())]
+    )
+    cnts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*group_cols, F.xxhash64(col).alias("__kh"))
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__salt", F.pmod(F.col("__kh"), F.lit(salt_buckets)))
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mg = MisraGries(capacity)
+        mg.update_batch(
+            pdf["__kh"].to_numpy(),
+            counts=pdf["__cnt"].to_numpy(),
+            prehashed=True,
+        )
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["state"] = [mg.serialize()]
+        return pd.DataFrame(row)
+
+    partials = cnts.groupBy(*group_cols, "__salt").applyInPandas(
+        build, schema=out_schema
+    )
+
+    def merge_states(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        acc = None
+        for blob in sorted(pdf["state"], key=bytes):
+            part = MisraGries.deserialize(bytes(blob))
+            acc = part if acc is None else MisraGries.merge(acc, part)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["state"] = [acc.serialize()]
+        return pd.DataFrame(row)
+
+    return partials.groupBy(*group_cols).applyInPandas(
+        merge_states, schema=out_schema
+    )
+
+
+def mg_topk_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    k: int = 5,
+    capacity: int = 256,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-group approximate top-k of ``col`` by frequency: (group_cols
+    ..., <col>, count_lb, err, rank) — the "top tools per role" query a
+    100-TB pipeline runs without materializing the full (group, value)
+    histogram downstream.  ``count_lb`` is the MG lower bound (true
+    frequency is within [count_lb, count_lb + err], underestimate-only);
+    ranking is by the lower bound with the key hash as a deterministic
+    tiebreak.  Original values are recovered from the hashes via a
+    distinct JVM-side (hash, value) map equi-join."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from associationabacminer_spark.sketch.misragries import MisraGries
+
+    states = mg_by_group_states(df, group_cols, col, capacity, salt_buckets)
+    gfields = [df.schema[c] for c in group_cols]
+    top_schema = T.StructType(
+        list(gfields)
+        + [
+            T.StructField("__kh", T.LongType()),
+            T.StructField("count_lb", T.LongType()),
+            T.StructField("err", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def explode_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mg = MisraGries.deserialize(bytes(pdf["state"].iloc[0]))
+        if len(mg.keys) == 0:
+            return pd.DataFrame({f.name: [] for f in top_schema.fields})
+        order = np.lexsort((mg.keys, -mg.counts))[:k]
+        out = {c: [pdf[c].iloc[0]] * len(order) for c in group_cols}
+        out["__kh"] = mg.keys[order].astype(np.int64)
+        out["count_lb"] = mg.counts[order]
+        out["err"] = np.full(len(order), mg.err, dtype=np.int64)
+        out["rank"] = np.arange(1, len(order) + 1, dtype=np.int32)
+        return pd.DataFrame(out)
+
+    top = states.groupBy(*group_cols).applyInPandas(explode_topk, top_schema)
+    vmap = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.xxhash64(col).alias("__kh"), F.col(col).alias("__val"))
+        .distinct()
+    )
+    return (
+        top.join(vmap, "__kh")
+        .select(
+            *group_cols,
+            F.col("__val").alias(col),
+            "count_lb",
+            "err",
+            "rank",
+        )
+        .orderBy(*group_cols, "rank")
+    )
+
+
 def bloom_semi_filter(
     big: DataFrame,
     col: str,

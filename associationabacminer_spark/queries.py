@@ -3194,6 +3194,48 @@ def s48(spark, sf_dir):
     )
 
 
+_Q51_SQL = """
+SELECT event_type, user_id, cnt, rnk FROM (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id
+         ) AS BIGINT) AS rnk
+  FROM events GROUP BY event_type, user_id
+) WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
+@query("q51_mg_topk_by_group", _Q51_SQL)
+def q51(spark, sf_dir):
+    """Per-group heavy hitters via the per-group Misra-Gries states
+    (operators/sql_sketch.mg_topk_by_group): top-3 users per event_type.
+    The build is SQL-reduced — raw rows collapse JVM-side to a (group,
+    key-hash) histogram before any Python — and the kernel states are
+    salted, bounded, and mergeable.  At this capacity (every group's
+    distinct keys fit one summary) the MG lower bounds ARE the exact
+    counts with err = 0 (asserted), so the query hash-matches the exact
+    SQL oracle; at 100-TB scale the same plan degrades gracefully to
+    guaranteed-lower-bound top-k instead of OOM.  Final ranking re-ranks
+    by (count, user_id) portably rather than the kernel's hash tiebreak."""
+    from pyspark.sql import Window
+
+    from associationabacminer_spark.operators.sql_sketch import mg_topk_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    full = mg_topk_by_group(
+        ev, ["event_type"], "user_id", k=4096, capacity=4096, salt_buckets=8
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("count_lb"), "user_id")
+    return (
+        full.filter(F.col("err") == 0)  # err=0 at this capacity: lb == exact
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", F.col("count_lb").alias("cnt"), "rnk")
+        .orderBy("event_type", "rnk")
+    )
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

@@ -1506,6 +1506,83 @@ class TestDecontaminate:
         assert hits.count() >= 100
 
 
+class TestMgByGroup:
+    def test_single_salt_matches_global_kernel(self, spark):
+        """salt_buckets=1: each group's state is ONE kernel build over
+        its exact histogram — byte-identical to mg_from_sql on the
+        group's rows (the per-group twin relationship)."""
+        from associationabacminer_spark.operators.sql_sketch import (
+            mg_by_group_states,
+            mg_from_sql,
+        )
+
+        df = spark.createDataFrame(
+            [(g, "k%d" % (i % (3 + g)))
+             for g in range(3) for i in range(50 + 10 * g)],
+            "grp: int, key: string",
+        )
+        states = {
+            r["grp"]: bytes(r["state"])
+            for r in mg_by_group_states(
+                df, ["grp"], "key", capacity=8, salt_buckets=1
+            ).collect()
+        }
+        for g in range(3):
+            direct = mg_from_sql(df.filter(F.col("grp") == g), "key", k=8)
+            assert states[g] == direct.serialize(), g
+
+    def test_salted_topk_guarantees(self, spark):
+        """Salted build on skewed data: every true heavy hitter is
+        present, each reported count is a lower bound within err of the
+        truth, and the top-1 per group is correct."""
+        import collections
+
+        from associationabacminer_spark.operators.sql_sketch import (
+            mg_topk_by_group,
+        )
+        from associationabacminer_spark.sketch.misragries import MisraGries
+
+        rng = np.random.default_rng(7)
+        rows, truth = [], collections.defaultdict(collections.Counter)
+        for g in ("a", "b"):
+            # zipf-ish: key0 dominates, long tail of singletons
+            for i in range(400):
+                k = "hot" if i % 2 == 0 else "k%d" % rng.integers(0, 150)
+                rows.append((g, k))
+                truth[g][k] += 1
+        df = spark.createDataFrame(rows, "grp: string, key: string")
+        out = mg_topk_by_group(
+            df, ["grp"], "key", k=5, capacity=16, salt_buckets=4
+        ).collect()
+        by_grp = collections.defaultdict(list)
+        for r in out:
+            by_grp[r["grp"]].append(r)
+        for g in ("a", "b"):
+            top = by_grp[g]
+            assert top[0]["key"] == "hot"  # rank 1 = true heavy hitter
+            for r in top:
+                f = truth[g][r["key"]]
+                assert r["count_lb"] <= f <= r["count_lb"] + r["err"], r
+
+    def test_build_is_sql_reduced(self, spark):
+        """Plan shape: the JVM hash aggregate (groups, key-hash count)
+        sits BELOW every FlatMapGroupsInPandas — Python sees distinct
+        (group, key) pairs, never raw rows."""
+        from associationabacminer_spark.operators.sql_sketch import (
+            mg_by_group_states,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x")], "grp: int, key: string"
+        )
+        plan = mg_by_group_states(df, ["grp"], "key")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+        first_py = plan.index("FlatMapGroupsInPandas")
+        assert "HashAggregate" in plan[first_py:]  # the count runs below
+        assert "xxhash64" in plan
+
+
 class TestDiversitySample:
     def test_quota_and_determinism(self, spark):
         from associationabacminer_spark.operators import semdedup as SD
