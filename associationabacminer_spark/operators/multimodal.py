@@ -11,6 +11,19 @@ the decode is a deterministic fake (or ``NotImplementedError`` when
 tested: the binary column schema, the mapInPandas batch shape, the
 metadata struct, and the partitioning all match what a production
 decode stage needs.
+
+Compressed-codec acquisition attempt (round 5, 2026-08-17):
+``pip install soundfile av`` was attempted from this sandbox and failed
+at DNS resolution for every index retry (``Failed to establish a new
+connection: [Errno -2] Name or service not known`` — no outbound
+network; same failure mode as the Iceberg jar fetch recorded in
+``sources/iceberg.py``).  So MP3/AAC/Vorbis audio and H.264/VP9 video
+remain strict-raise territory here: ``probe_codecs()`` reports what is
+real (Pillow images when present, stdlib PCM WAV, pure-Python Y4M) and
+the compressed-container paths raise honestly.  Wiring real
+soundfile/PyAV decode behind new probes is deliberately NOT stubbed in
+ahead of time — untestable decode paths would be speculation, not
+engineering; the honest raise marks exactly where they would go.
 """
 
 from __future__ import annotations
