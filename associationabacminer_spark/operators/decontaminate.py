@@ -76,9 +76,14 @@ def contaminated_ids(
         from associationabacminer_spark.operators.sql_sketch import bloom_semi_filter
 
         # cache the reference shingle set: the Bloom build (sizing count
-        # + word-table reduction) and the final semi-join all consume it
+        # + word-table reduction) and the final semi-join all consume it.
+        # tr is distinct by construction, so its count IS n_keys — pass
+        # it through to spare bloom_semi_filter a redundant distinct
+        # shuffle over the full shingle set
         tr = tr.cache()
-        te = bloom_semi_filter(te, "sh", tr, "sh", fpp=bloom_fpp)
+        te = bloom_semi_filter(
+            te, "sh", tr, "sh", fpp=bloom_fpp, n_keys=tr.count()
+        )
     return (
         te.join(tr, "sh", "left_semi")
         .select(F.col("doc").alias(id_col))
