@@ -334,10 +334,22 @@ def mg_topk_by_group(
         out["rank"] = np.arange(1, len(order) + 1, dtype=np.int32)
         return pd.DataFrame(out)
 
-    top = states.groupBy(*group_cols).applyInPandas(explode_topk, top_schema)
+    # cache the (groups x k)-row top table: both the broadcast hash set
+    # and the final join consume it, and without the cache each branch
+    # would re-run the whole histogram aggregation
+    top = states.groupBy(*group_cols).applyInPandas(
+        explode_topk, top_schema
+    ).cache()
+    # hash -> value recovery: semi-filter the corpus scan by the (small,
+    # groups x k) top-hash set BEFORE the distinct, so the distinct's
+    # shuffle carries only rows whose value is actually reported — never
+    # the full (hash, value) domain.  broadcast() keeps the filter a
+    # map-side probe.
+    top_hashes = top.select("__kh").distinct()
     vmap = (
         df.filter(F.col(col).isNotNull())
         .select(F.xxhash64(col).alias("__kh"), F.col(col).alias("__val"))
+        .join(F.broadcast(top_hashes), "__kh", "left_semi")
         .distinct()
     )
     return (
