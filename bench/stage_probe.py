@@ -1,0 +1,168 @@
+"""One-measurement-per-JVM stage probe for the 59M evidence runs
+(round-5 VERDICT items 1-3).
+
+The round-4 decomposition attempt ran all cumulative-prefix
+measurements in ONE JVM: shuffle files accumulated across
+materializations and the run died on the sandbox disk quota, and the
+`exact_dedup` reading (387.7 s) bundled an uncached parquet scan plus a
+49M-row cache write into the measured action.  This probe fixes both:
+
+* every invocation is ONE measurement in a fresh JVM — shuffle dirs are
+  wiped when the process exits, so disk usage is bounded by the largest
+  single stage, not the sum;
+* the measured action is exactly the stage's own count — cache writes
+  are either excluded (``exact_plain``) or replicated faithfully from
+  the ladder composition (``exact_ladder``) so the two readings
+  attribute the earlier discrepancy;
+* a single-core CPU control sample runs before the Spark work, right
+  after the measured count returns, and after ``spark.stop()`` so a
+  throttled host window is visible IN the record (healthy band on this
+  box: ~700-900 units/s, see BENCH/BASELINE.md).
+
+MinHash sub-stages use the CUMULATIVE-PREFIX method over a pre-written
+exact-deduped parquet (``prep_uniq``):
+
+    t_signatures = T(signatures)
+    t_banding    = T(banding) - T(signatures)
+    t_recheck    = T(full)    - T(banding)
+
+Usage (one stage per process; append JSON lines to --out):
+    PYTHONPATH=/root/repo SPARK_DRIVER_MEM=48g python bench/stage_probe.py \
+        signatures --input .synth/scaling_59M_uniq --out .synth/stage_probe_r05.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+STAGES = (
+    "prep_uniq", "exact_ladder", "exact_plain",
+    "signatures", "banding", "full", "decontaminate",
+)
+
+
+def control() -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((400, 400))
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.5:
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+        n += 1
+    return round(n / (time.perf_counter() - t0), 1)
+
+
+def load_docs(spark, path: str):
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(path)
+    if "doc_id" in raw.columns:
+        return raw.select("doc_id", "text")
+    return raw.select(
+        F.xxhash64(F.concat_ws("#", "conv_id", "turn_idx")).alias("doc_id"),
+        F.col("text"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=STAGES)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--uniq-out", default=None, help="prep_uniq target dir")
+    ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from associationabacminer_spark.operators import dedup
+    from associationabacminer_spark.operators.decontaminate import decontaminate_train
+    from associationabacminer_spark.session import get_spark
+
+    c_pre = control()
+    spark = get_spark(app_name=f"stage-probe-{args.stage}", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_docs(spark, args.input)
+    n_input = docs.count()
+    # production partitioning: same input-scaled rule as the ladder
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(32, n_input // 400_000))
+    )
+
+    rec: dict = {"stage": args.stage, "input": args.input,
+                 "input_rows": int(n_input)}
+
+    if args.stage == "prep_uniq":
+        t0 = time.monotonic()
+        dedup.exact_dedup(docs, "text", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(args.uniq_out)
+        rec["sec"] = round(time.monotonic() - t0, 1)
+        rec["controls"] = [c_pre]
+        spark.stop()
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return
+
+    if args.stage == "exact_ladder":
+        # faithful ladder composition: docs cached + counted first, then
+        # exact_dedup materialized INTO a cache
+        docs = docs.cache()
+        s = time.monotonic()
+        docs.count()
+        rec["input_cache_sec"] = round(time.monotonic() - s, 1)
+        target = dedup.exact_dedup(docs, "text", "doc_id").cache()
+        action = target.count
+    elif args.stage == "exact_plain":
+        # pure operator + scan: no caches anywhere in the lineage
+        action = dedup.exact_dedup(docs, "text", "doc_id").count
+    elif args.stage == "signatures":
+        action = dedup.minhash_signatures_oph(
+            docs, "text", "doc_id", num_buckets=args.num_perm, n=3
+        ).count
+    elif args.stage == "banding":
+        sigs = dedup.minhash_signatures_oph(
+            docs, "text", "doc_id", num_buckets=args.num_perm, n=3
+        )
+        action = dedup.lsh_candidate_pairs(
+            sigs, bands=args.bands,
+            rows_per_band=args.num_perm // args.bands,
+        ).count
+    elif args.stage == "full":
+        action = dedup.minhash_lsh_dedup(
+            docs, "text", "doc_id", num_perm=args.num_perm,
+            bands=args.bands, n=3, threshold=args.threshold, method="oph",
+        ).count
+    elif args.stage == "decontaminate":
+        # ladder composition: heldout = doc_id % 7 == 0 of the cleaned
+        # pool (at the 59M rung clean == uniq, measured round 4)
+        heldout = docs.filter(docs.doc_id % 7 == 0)
+        pool = docs.filter(docs.doc_id % 7 != 0)
+        action = decontaminate_train(pool, heldout, "text", "doc_id", n=5).count
+
+    c0 = control()
+    t0 = time.monotonic()
+    n_out = action()
+    rec["sec"] = round(time.monotonic() - t0, 1)
+    c1 = control()
+    rec["rows"] = int(n_out)
+    spark.stop()
+    c2 = control()
+    rec["controls"] = {"pre_spark": c_pre, "pre": c0,
+                       "post_count": c1, "post_stop": c2}
+    print(json.dumps(rec), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
