@@ -40,6 +40,7 @@ import time
 STAGES = (
     "prep_uniq", "exact_ladder", "exact_plain",
     "signatures", "banding", "full", "decontaminate",
+    "decontaminate_nobloom",
 )
 
 
@@ -78,6 +79,18 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="override the input-scaled default (banding shuffles "
+             "bands x docs rows, so its sorts spill at the doc-scaled "
+             "partition count)",
+    )
+    ap.add_argument(
+        "--metrics", action="store_true",
+        help="enable the Spark UI and record total shuffle read/write "
+             "bytes from its REST API (the cluster-relevant cost a "
+             "local-disk wall clock hides)",
+    )
     args = ap.parse_args()
 
     from associationabacminer_spark.operators import dedup
@@ -85,18 +98,20 @@ def main() -> None:
     from associationabacminer_spark.session import get_spark
 
     c_pre = control()
-    spark = get_spark(app_name=f"stage-probe-{args.stage}", cores=32)
+    extra = {"spark.ui.enabled": "true"} if args.metrics else None
+    spark = get_spark(
+        app_name=f"stage-probe-{args.stage}", cores=32, extra_conf=extra
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_docs(spark, args.input)
     n_input = docs.count()
     # production partitioning: same input-scaled rule as the ladder
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(32, n_input // 400_000))
-    )
+    n_parts = args.shuffle_partitions or max(32, n_input // 400_000)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
 
     rec: dict = {"stage": args.stage, "input": args.input,
-                 "input_rows": int(n_input)}
+                 "input_rows": int(n_input), "shuffle_partitions": n_parts}
 
     if args.stage == "prep_uniq":
         t0 = time.monotonic()
@@ -141,12 +156,17 @@ def main() -> None:
             docs, "text", "doc_id", num_perm=args.num_perm,
             bands=args.bands, n=3, threshold=args.threshold, method="oph",
         ).count
-    elif args.stage == "decontaminate":
+    elif args.stage in ("decontaminate", "decontaminate_nobloom"):
         # ladder composition: heldout = doc_id % 7 == 0 of the cleaned
-        # pool (at the 59M rung clean == uniq, measured round 4)
+        # pool (at the 59M rung clean == uniq, measured round 4);
+        # the _nobloom twin disables the round-5 Bloom prefilter for a
+        # same-window A/B of the eval-side semi-filter
         heldout = docs.filter(docs.doc_id % 7 == 0)
         pool = docs.filter(docs.doc_id % 7 != 0)
-        action = decontaminate_train(pool, heldout, "text", "doc_id", n=5).count
+        fpp = None if args.stage.endswith("nobloom") else 0.01
+        action = decontaminate_train(
+            pool, heldout, "text", "doc_id", n=5, bloom_fpp=fpp
+        ).count
 
     c0 = control()
     t0 = time.monotonic()
@@ -154,6 +174,27 @@ def main() -> None:
     rec["sec"] = round(time.monotonic() - t0, 1)
     c1 = control()
     rec["rows"] = int(n_out)
+    if args.metrics:
+        try:
+            import urllib.request
+
+            base = "http://localhost:4040/api/v1/applications"
+            apps = json.load(urllib.request.urlopen(base, timeout=10))
+            app_id = apps[0]["id"]
+            stages = json.load(urllib.request.urlopen(
+                f"{base}/{app_id}/stages?status=complete", timeout=10
+            ))
+            rec["shuffle_write_mb"] = round(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+            )
+            rec["shuffle_read_mb"] = round(
+                sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+            )
+            rec["input_mb"] = round(
+                sum(s.get("inputBytes", 0) for s in stages) / 1e6, 1
+            )
+        except Exception as e:  # metrics are best-effort
+            rec["metrics_err"] = str(e)
     spark.stop()
     c2 = control()
     rec["controls"] = {"pre_spark": c_pre, "pre": c0,
