@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 
 from associationabacminer_spark.functions.text import word_ngrams
 
+# "auto" engages the Bloom prefilter only when Catalyst's size estimate
+# of the probe (test) side is at least this many bytes.  Measured
+# crossover: at 5k docs (sf0.1) the prefilter's fixed cost — an extra
+# count job on the reference shingle set plus the Arrow probe round-trip
+# of the full test-side shingle stream — ADDS ~1.5-2 s to a ~3.5 s
+# stage, while at the 10-49M-doc rungs it cuts shuffle bytes 30% and
+# wall 9-29% (BENCH/BASELINE.md round-5 A/B).  256 MB of input sits
+# safely between those regimes.
+BLOOM_AUTO_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (file-size based for
+    scans), computed WITHOUT running a job.  None when the estimate is
+    unavailable (e.g. Spark Connect, where the JVM plan is remote)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc, sh): shingles carried as xxhash64 int64, not strings — the
@@ -46,7 +66,7 @@ def contaminated_ids(
     id_col: str,
     n: int = 13,
     max_shingle_df: int | None = None,
-    bloom_fpp: float | None = 0.01,
+    bloom_fpp: float | str | None = "auto",
 ) -> DataFrame:
     """Distinct test ids sharing at least one word n-gram with train.
 
@@ -58,7 +78,17 @@ def contaminated_ids(
     ``fpp`` fraction of false positives instead of the entire exploded
     corpus (the stage was spill-bound at 59M rows without it).  Bloom
     filters have no false negatives, so the result set is IDENTICAL to
-    the plain semi-join (property-tested); ``None`` disables it."""
+    the plain semi-join (property-tested); ``None`` disables it.
+
+    The default ``"auto"`` engages the prefilter (fpp=0.01) only when
+    Catalyst estimates the test side at >= ``BLOOM_AUTO_MIN_BYTES`` —
+    below the crossover the prefilter's fixed costs exceed its shuffle
+    savings (measured both ways, see the constant's comment)."""
+    if bloom_fpp == "auto":
+        size = _plan_size_bytes(test)
+        bloom_fpp = (
+            0.01 if size is not None and size >= BLOOM_AUTO_MIN_BYTES else None
+        )
     if max_shingle_df is not None:
         # one pass over train: the doc-frequency count IS the distinct
         # shingle set, so the cap never costs a second corpus scan
@@ -98,7 +128,7 @@ def decontaminate(
     id_col: str,
     n: int = 13,
     max_shingle_df: int | None = None,
-    bloom_fpp: float | None = 0.01,
+    bloom_fpp: float | str | None = "auto",
 ) -> DataFrame:
     """Test rows with NO long-n-gram overlap against train."""
     hits = contaminated_ids(
@@ -114,7 +144,7 @@ def decontaminate_train(
     id_col: str,
     n: int = 13,
     max_shingle_df: int | None = None,
-    bloom_fpp: float | None = 0.01,
+    bloom_fpp: float | str | None = "auto",
 ) -> DataFrame:
     """The GPT-3 direction: TRAIN rows with no long-n-gram overlap
     against the evaluation set (the reference-shingle side here is

@@ -304,11 +304,14 @@ class TestRound5QueryPlans:
         )
         from associationabacminer_spark.sources.tables import load_tables
 
+        from associationabacminer_spark.operators import decontaminate as D
+
         docs = load_tables(spark, SF)["documents"]
         train = docs.filter(F.col("doc_id") % 2 == 0)
         test = docs.filter(F.col("doc_id") % 2 == 1)
         with_bloom = contaminated_ids(
-            train, test, "text", "doc_id", n=5, max_shingle_df=2
+            train, test, "text", "doc_id", n=5, max_shingle_df=2,
+            bloom_fpp=0.01,
         )
         plan = self._exec_plan(with_bloom)
         assert "MapInPandas" in plan
@@ -318,3 +321,21 @@ class TestRound5QueryPlans:
             bloom_fpp=None,
         )
         assert "MapInPandas" not in self._exec_plan(without)
+        # the "auto" default gates on Catalyst's test-side size estimate:
+        # lean at test scale (below BLOOM_AUTO_MIN_BYTES), prefiltered
+        # when the threshold drops beneath the estimate
+        auto_small = contaminated_ids(
+            train, test, "text", "doc_id", n=5, max_shingle_df=2
+        )
+        assert "MapInPandas" not in self._exec_plan(auto_small)
+        est = D._plan_size_bytes(test)
+        assert est is not None and est > 0
+        old = D.BLOOM_AUTO_MIN_BYTES
+        D.BLOOM_AUTO_MIN_BYTES = 1
+        try:
+            auto_big = contaminated_ids(
+                train, test, "text", "doc_id", n=5, max_shingle_df=2
+            )
+            assert "MapInPandas" in self._exec_plan(auto_big)
+        finally:
+            D.BLOOM_AUTO_MIN_BYTES = old
