@@ -10,7 +10,7 @@ MinHash family uses ``xxhash64`` so signatures are computed JVM-side.
 
 Scale notes: exact/fingerprint dedup is one hash-partitioned groupBy on
 the digest (uniform key — no skew).  MinHash-LSH replaces the O(n^2)
-pair join with an equi-join on (band, band_hash) buckets; brute-force
+pair join with an equi-join on hashed band buckets; brute-force
 Jaccard/cosine pair joins are provided as small-scale oracles only.
 """
 
@@ -269,7 +269,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = 4096,
 ) -> DataFrame:
-    """Band the signatures and bucket on (band, band_hash): documents
+    """Band the signatures and bucket on the per-band hash key: documents
     agreeing on any full band become candidates.  This is the scale path
     — shuffle is a hash on the band key, never O(n^2).
 
@@ -282,24 +282,33 @@ def lsh_candidate_pairs(
     large is boilerplate whose near-dup pairs are recoverable from its
     rarer bands.  None disables the cap (exact parity with the old
     join)."""
+    # Round-5: the bucket key is ONE long — xxhash64 over (band index,
+    # raw signature longs).  The previous key was (band, band_hash) with
+    # band_hash = xxhash64(concat_ws(",", values)): materializing a
+    # ~40-80 byte string per (doc, band) row just to hash it cost
+    # ~60 GB of transient string building at the 59M rung, and the
+    # two-column key widened the shuffle rows and the window sort.
+    # Hashing the longs directly is byte-exact deterministic, and the
+    # band index inside the hash preserves band-alignment semantics
+    # (docs collide only when the SAME band agrees, up to a 2^-64 hash
+    # collision — candidate-superset-safe either way, since every pair
+    # is exact-rechecked downstream).
     banded = sig_df.select(
         "doc_id",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        F.lit(b),
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("band", "band_hash"),
+        ).alias("band_hash"),
     )
     # Bucket-size filter BEFORE any collect_list, in ONE pass: a window
     # count over the bucket key shuffles banded once (spill-safe row
@@ -313,11 +322,11 @@ def lsh_candidate_pairs(
     # scan twice.  Plan-asserted single-Exchange in tests.)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "band_hash")
+    w = Window.partitionBy("band_hash")
     filtered = banded.withColumn("n", F.count("*").over(w)).filter(F.col("n") > 1)
     if max_bucket_size is not None:
         filtered = filtered.filter(F.col("n") <= max_bucket_size)
-    buckets = filtered.groupBy("band", "band_hash").agg(
+    buckets = filtered.groupBy("band_hash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     # all pairs within a bucket: (i-th, each later element); ids sorted so
