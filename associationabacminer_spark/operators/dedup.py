@@ -381,7 +381,12 @@ def minhash_lsh_dedup(
     # exact re-check: build shingle arrays ONLY for docs that appear in a
     # candidate pair (semi-join first) — string n-gram construction over
     # the whole corpus costs as much as a full signature pass, and at low
-    # dup rates the candidate set is orders of magnitude smaller
+    # dup rates the candidate set is orders of magnitude smaller.
+    # Round-5: the arrays carry xxhash64 of each shingle, not the string
+    # — the candidate joins shuffle ~8 B per shingle instead of ~6n and
+    # the intersect/union compare longs, with the same Jaccard up to a
+    # 2^-64 per-pair collision (the decontaminate module's documented
+    # trade, dedup.py re-check edition).
     cand_ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .union(cands.select(F.col("id_b").alias("doc_id")))
@@ -395,7 +400,11 @@ def minhash_lsh_dedup(
         .join(cand_ids, "doc_id", "left_semi")
         .select(
             "doc_id",
-            F.array_distinct(word_ngrams(F.col("__text"), n)).alias("shingles"),
+            F.array_distinct(
+                F.transform(
+                    word_ngrams(F.col("__text"), n), lambda s: F.xxhash64(s)
+                )
+            ).alias("shingles"),
         )
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
