@@ -3236,6 +3236,43 @@ def q51(spark, sf_dir):
     )
 
 
+_Q72_SQL = """
+WITH r AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY l_quantity
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem WHERE l_quantity IS NOT NULL
+)
+SELECT grp,
+       MIN(CASE WHEN rn >= CEIL(CAST(0.5 AS DOUBLE) * n) THEN v END) AS p50,
+       MIN(CASE WHEN rn >= CEIL(CAST(0.9 AS DOUBLE) * n) THEN v END) AS p90,
+       MIN(CASE WHEN rn >= CEIL(CAST(0.99 AS DOUBLE) * n) THEN v END) AS p99
+FROM r GROUP BY grp ORDER BY grp
+"""
+
+
+@query("q72_binned_group_quantiles", _Q72_SQL)
+def q72(spark, sf_dir):
+    """Per-group quantiles via the bounded-state binned-histogram
+    operator (operators/sql_sketch.quantiles_by_group): p50/p90/p99 of
+    l_quantity per return flag.  l_quantity's integral values sit far
+    below 1/rel_width, so every distinct value occupies its own log bin
+    and the binned answer equals the exact discrete rank-ceil(q*n)
+    quantile — the oracle computes exactly that rank selection with
+    per-row window functions (both engines multiply the same IEEE
+    double q by a BIGINT n, so the rank arithmetic is bit-identical).
+    At 100-TB scale the same plan keeps per-group state at the occupied
+    bin count instead of percentile_approx's per-group summaries."""
+    from associationabacminer_spark.operators.sql_sketch import quantiles_by_group
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_quantity"
+    )
+    return quantiles_by_group(li, ["grp"], "l_quantity").orderBy("grp")
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

@@ -510,6 +510,67 @@ class TestHllByGroup:
             assert abs(est - exact) / max(exact, 1) < 5 * k.relative_error
 
 
+class TestQuantilesByGroup:
+    def test_exact_on_integer_values(self, spark):
+        """With every distinct integer in its own log bin (values far
+        below 1/rel_width) the binned quantile IS the exact discrete
+        rank-ceil(q*n) quantile — the property the oracled q72 pins."""
+        import math
+
+        import numpy as np
+
+        from associationabacminer_spark.operators.sql_sketch import (
+            quantiles_by_group,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (int(g), int(v))
+            for g in range(3)
+            for v in rng.integers(1, 200, size=500)
+        ]
+        df = spark.createDataFrame(rows, "g int, v int")
+        got = {
+            r["g"]: (r["p50"], r["p90"], r["p99"])
+            for r in quantiles_by_group(df, ["g"], "v").collect()
+        }
+        for g in range(3):
+            vs = sorted(v for gg, v in rows if gg == g)
+            n = len(vs)
+            for q, have in zip((0.5, 0.9, 0.99), got[g]):
+                assert have == vs[math.ceil(q * n) - 1], (g, q)
+
+    def test_continuous_within_bin_width_and_no_python(self, spark):
+        """Continuous values: the result sits within one bin's value
+        width of the exact discrete quantile (rank is exact, the value
+        snaps to the in-bin mean); the plan is pure Catalyst."""
+        import math
+
+        import numpy as np
+
+        from associationabacminer_spark.operators.sql_sketch import (
+            quantiles_by_group,
+        )
+
+        rng = np.random.default_rng(11)
+        vals = rng.lognormal(mean=3.0, sigma=1.2, size=4000)
+        df = spark.createDataFrame(
+            [(int(i % 2), float(v)) for i, v in enumerate(vals)],
+            "g int, v double",
+        )
+        w = 1e-3
+        out = quantiles_by_group(df, ["g"], "v", (0.5, 0.95), rel_width=w)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # no BatchEvalPython/ArrowEvalPython
+        got = {r["g"]: (r["p50"], r["p95"]) for r in out.collect()}
+        for g in (0, 1):
+            vs = sorted(v for i, v in enumerate(vals) if i % 2 == g)
+            n = len(vs)
+            for q, have in zip((0.5, 0.95), got[g]):
+                exact = vs[math.ceil(q * n) - 1]
+                assert abs(have - exact) <= 2.0 * w * (1.0 + exact), (g, q)
+
+
 class TestBottomKHarness:
     def test_bottomk_through_applyinpandas_harness(self, spark, transcripts):
         """BottomK slots into the generic SketchSpec harness: the
