@@ -56,6 +56,8 @@ HEADLINE = [
     # round 5: the one-permutation MinHash scale path (twin of s43, which
     # stays pinned to classic for round-over-round comparability)
     "s49_minhash_lsh_oph",
+    # round 5: per-group bounded-state quantiles (binned histogram)
+    "q72_binned_group_quantiles",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates
