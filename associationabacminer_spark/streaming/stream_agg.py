@@ -72,6 +72,79 @@ def streaming_sketch_build(
     return fold
 
 
+def streaming_binned_histogram(
+    group_cols: list[str],
+    col: str,
+    state: dict,
+    rel_width: float = 5e-4,
+):
+    """foreachBatch sink folding each micro-batch's (group, bin)
+    centroid table into ``state`` ({group_tuple: {bin: [count, sum]}})
+    — the streaming twin of ``operators.sql_sketch.quantiles_by_group``.
+    Each batch's reduction runs JVM-side (the same symmetric-log
+    binning); only the occupied-bin table crosses to the driver, so
+    state stays at groups x occupied bins regardless of stream length,
+    and bin (count, sum) pairs are additive, so at-least-once epochs
+    only ever need the caller's epoch-id dedup, never a rebuild.
+    Quantiles are read at any time via ``quantiles_from_binned_state``
+    and equal the batch operator on the union of batches (exactly, for
+    integral columns; up to float summation order otherwise)."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        c = F.col(col).cast("double")
+        b = (
+            F.signum(c) * F.floor(F.log1p(F.abs(c)) / F.lit(float(rel_width)))
+        ).cast("long")
+        rows = (
+            batch_df.filter(c.isNotNull() & ~F.isnan(c))
+            .groupBy(*group_cols, b.alias("__bin"))
+            .agg(F.count("*").alias("__cnt"), F.sum(c).alias("__sum"))
+            .collect()
+        )
+        for r in rows:
+            bins = state.setdefault(tuple(r[g] for g in group_cols), {})
+            cur = bins.get(r["__bin"])
+            if cur is None:
+                bins[r["__bin"]] = [r["__cnt"], r["__sum"]]
+            else:
+                cur[0] += r["__cnt"]
+                cur[1] += r["__sum"]
+
+    return fold
+
+
+def quantiles_from_binned_state(
+    state: dict, qs: tuple = (0.5, 0.9, 0.99)
+) -> dict:
+    """{group_tuple: {"p50": v, ...}} from a ``streaming_binned_histogram``
+    state — the identical rank-ceil(q*n) in-bin-mean selection as the
+    batch operator (bin means sort like bin indexes: disjoint value
+    intervals)."""
+    import math
+
+    from associationabacminer_spark.operators.sql_sketch import _quantile_alias
+
+    out = {}
+    for g, bins in state.items():
+        items = sorted((s / cnt, cnt) for cnt, s in bins.values())
+        total = sum(c for _, c in items)
+        res = {}
+        for q in qs:
+            rank = math.ceil(float(q) * total)
+            cum = 0
+            val = items[-1][0] if items else None
+            for v, cnt in items:
+                cum += cnt
+                if cum >= rank:
+                    val = v
+                    break
+            res[_quantile_alias(q)] = val
+        out[g] = res
+    return out
+
+
 def streaming_conversation_state(
     stream: DataFrame,
     conv_col: str = "conv_id",

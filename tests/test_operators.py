@@ -487,6 +487,52 @@ class TestStreaming:
         assert abs(est - exact) <= max(1.0, 3 * state["hll"].relative_error * exact)
 
 
+    def test_foreach_batch_binned_quantiles_match_batch_operator(
+        self, spark, tmp_path
+    ):
+        """Streaming binned histogram folded over micro-batches equals
+        the batch quantiles_by_group on the union (exactly — integral
+        values make every bin sum exact in double)."""
+        import numpy as np
+
+        from associationabacminer_spark.operators.sql_sketch import (
+            quantiles_by_group,
+        )
+        from associationabacminer_spark.streaming import (
+            quantiles_from_binned_state,
+            streaming_binned_histogram,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (int(g), int(v))
+            for g in range(2)
+            for v in rng.integers(1, 300, size=400)
+        ]
+        df = spark.createDataFrame(rows, "g int, v int")
+        src = str(tmp_path / "bq-src")
+        # two parquet files -> at least one multi-file stream read
+        df.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+            .parquet(src)
+        )
+        state: dict = {}
+        fold = streaming_binned_histogram(["g"], "v", state)
+        q = stream.writeStream.foreachBatch(fold).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = quantiles_from_binned_state(state, (0.5, 0.9, 0.99))
+        want = {
+            (r["g"],): {"p50": r["p50"], "p90": r["p90"], "p99": r["p99"]}
+            for r in quantiles_by_group(df, ["g"], "v").collect()
+        }
+        assert got == want
+
+
 class TestWindowedSketches:
     def test_per_window_hll_vs_exact_and_rollup(self, spark):
         from associationabacminer_spark.operators.agg import SketchSpec
