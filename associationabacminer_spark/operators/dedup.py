@@ -605,3 +605,143 @@ def winnow_overlap_pairs(
         .filter(F.col("overlap") >= min_overlap)
         .select("id_a", "id_b", F.round("overlap", 6).alias("overlap"))
     )
+
+
+def _window_fingerprint_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, s, fp) rows: one xxhash64 fingerprint per k-token window of
+    ``text_col`` (whitespace tokens, lowercased), with its 0-based token
+    start ``s``.  Hashes are composed from per-token hashes — no window
+    strings are ever materialized (the same string-free trick as the LSH
+    bucket key): fp[i] = xxhash64 of the slice of token hashes, one JVM
+    hash per window over 8-byte longs.  Docs shorter than k tokens
+    produce no rows.
+
+    Built as CHAINED projections so the token-hash array stays a bound
+    attribute inside the window transform lambda — inlining it as a raw
+    expression re-evaluates the split + per-token hashing once PER
+    WINDOW, the O(tokens^2) Catalyst trap `minhash_signatures_oph`
+    documents (measured here: 8-10 s -> sub-second at sf0.1)."""
+    tokd = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks__"),
+    )
+    thd = tokd.select(
+        id_col, F.transform("__toks__", lambda t: F.xxhash64(t)).alias("__th__")
+    ).filter(F.size("__th__") >= k)
+    fps = F.transform(
+        F.sequence(F.lit(0), F.size("__th__") - k),
+        lambda i: F.xxhash64(F.slice(F.col("__th__"), i + 1, k)),
+    )
+    return thd.select(id_col, F.posexplode(fps).alias("s", "fp"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection: maximal per-doc token spans
+    every k-token window of which repeats >= ``min_count`` times
+    corpus-wide (the exact-substring-dedup building block of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — the span-level member the doc-level dedup family
+    [exact_dedup / minhash_lsh_dedup] cannot express: boilerplate
+    headers, license blocks, and templated passages repeat across
+    otherwise-distinct documents).
+
+    Reference analog: content-hash dedup of whole rows
+    (/root/reference/src/model/EnvLogUniverseGenerator.py:91-94)
+    generalized below row granularity.
+
+    Pure Catalyst, three shuffles, all on bounded keys:
+      1. per-row window fingerprints (``_window_fingerprints``) →
+         posexplode to (id, start, fp) — one 8-byte long per window, no
+         window strings.
+      2. duplicated fingerprints: hash groupBy on fp (uniform 64-bit
+         key, no skew) HAVING count >= min_count; windows semi-joined
+         against it (broadcast when small).
+      3. gap-and-island merge per doc: window partitioned by ``id_col``
+         (never a global sort) fusing windows whose starts are within k
+         tokens — overlapping or exactly adjacent duplicated windows
+         collapse into one maximal span.
+
+    Returns (id_col, span_start, span_end, n_windows); span_end is
+    EXCLUSIVE in token positions; n_windows counts the duplicated
+    k-windows inside the span.  A fingerprint collision (2^-64 per
+    window pair) can at worst extend a span — the documented trade shared
+    with the decontaminate/LSH re-check paths."""
+    from pyspark.sql import Window
+
+    wins = _window_fingerprint_rows(df, text_col, id_col, k)
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("fp")
+    )
+    hits = wins.join(dup_fps, "fp", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("s")
+    islands = (
+        hits.withColumn("prev_s", F.lag("s").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            (F.max("s") + k).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove duplicated spans from the corpus: every token inside a
+    ``duplicated_spans`` interval is dropped and the remainder rejoined
+    with single spaces (tokens outside spans keep their relative order).
+    NOTE the policy difference from Lee et al.: this removes EVERY
+    occurrence of a duplicated span (boilerplate-scrub semantics), not
+    all-but-one; layering a keep-one-canonical policy means exempting
+    one (id, span) per duplicate group upstream.
+
+    The span table is collect_list'ed per doc (bounded: spans per doc
+    <= n_tokens / k) and joined back broadcast-or-shuffle by doc id; the
+    token filter is a Catalyst two-arg ``F.filter`` lambda — no Python
+    UDF.  Returns ``df`` with ``text_col`` replaced by the scrubbed text
+    (docs with no duplicated spans pass through byte-identical apart
+    from tokenization-normalized whitespace ONLY inside scrubbed docs —
+    untouched docs keep their original text column verbatim)."""
+    if spans is None:
+        spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans__"),
+            lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+        ),
+    )
+    scrubbed = F.when(
+        F.col("__spans__").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(kept, " "))
+    return joined.withColumn(text_col, scrubbed).drop("__spans__")

@@ -3273,6 +3273,56 @@ def q72(spark, sf_dir):
     return quantiles_by_group(li, ["grp"], "l_quantity").orderBy("grp")
 
 
+_Q9C_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+wl AS (
+  SELECT doc_id, [{'s': i - 1, 'w': array_to_string(t[i:i+7], ' ')}
+                  for i in range(1, greatest(len(t) - 8, -1) + 2)] AS ws
+  FROM toks WHERE len(t) >= 8
+),
+flat AS (SELECT doc_id, x.s AS s, x.w AS w
+         FROM (SELECT doc_id, unnest(ws) AS x FROM wl)),
+dup AS (SELECT w FROM flat GROUP BY w HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, s FROM flat SEMI JOIN dup USING (w)),
+isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN prev_s IS NULL OR s - prev_s > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM (SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev_s
+        FROM hits)
+)
+SELECT doc_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(s) + 8 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@query("q9c_duplicated_spans", _Q9C_SQL)
+def q9c(spark, sf_dir):
+    """Substring-level duplicate spans (operators/dedup.duplicated_spans,
+    k=8): maximal per-doc token intervals whose every 8-token window
+    repeats corpus-wide — the exact-substring-dedup member of the dedup
+    family (Lee et al. 2021), below the row granularity of the
+    reference's content-hash dedup
+    (/root/reference/src/model/EnvLogUniverseGenerator.py:91-94).
+
+    The Spark side fingerprints windows with xxhash64 over sliced
+    token-hash arrays (no window strings); the oracle compares the
+    actual window TEXT — so parity also certifies the fingerprint is
+    collision-free on this corpus.  Output is pure integers: doc_id,
+    token-offset span bounds (end exclusive), duplicated-window count."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, "text", "doc_id", k=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

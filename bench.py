@@ -58,6 +58,9 @@ HEADLINE = [
     "s49_minhash_lsh_oph",
     # round 5: per-group bounded-state quantiles (binned histogram)
     "q72_binned_group_quantiles",
+    # round 5: substring-level duplicate spans (Lee et al. exact-substring
+    # dedup building block; string-free window fingerprints)
+    "q9c_duplicated_spans",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

@@ -2393,3 +2393,77 @@ class TestWeightedSample:
         assert sorted(r["id"] for r in out.collect()) == [2, 3]
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestDuplicatedSpans:
+    """Substring-level duplicate-span detection + scrub (Lee et al. 2021
+    exact-substring dedup building block)."""
+
+    K = 4
+
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        passage = " ".join(f"p{i}" for i in range(12))
+        rows = [
+            # planted 12-token passage at offset 5 (A) and 3 (B)
+            (0, " ".join(f"a{i}" for i in range(5)) + " " + passage + " "
+                + " ".join(f"a{i}" for i in range(5, 9))),
+            (1, " ".join(f"b{i}" for i in range(3)) + " " + passage + " "
+                + " ".join(f"b{i}" for i in range(3, 9))),
+            # all-unique doc, punctuation + caps to check verbatim passthrough
+            (2, "Unique, UNTOUCHED text; stays Verbatim!"),
+            # self-repetition: r-block at offsets 2 and 7 (gap 5 > k -> two spans)
+            (3, "c0 c1 r0 r1 r2 r3 c2 r0 r1 r2 r3 c3"),
+            # adjacent repeat: s-block twice back-to-back (gap == k -> one span)
+            (4, "d0 d1 s0 s1 s2 s3 s0 s1 s2 s3 d2 d3"),
+            # shorter than k tokens
+            (5, "tiny doc"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.fixture(scope="class")
+    def spans(self, span_docs):
+        out = dedup.duplicated_spans(span_docs, "text", "doc_id", k=self.K)
+        return {
+            (r["doc_id"], r["span_start"]): (r["span_end"], r["n_windows"])
+            for r in out.collect()
+        }
+
+    def test_planted_passage_recovered_at_both_offsets(self, spans):
+        # 12-token passage, k=4: 9 duplicated windows, merged to one span
+        assert spans[(0, 5)] == (17, 9)
+        assert spans[(1, 3)] == (15, 9)
+
+    def test_unique_and_short_docs_have_no_spans(self, spans):
+        assert not any(d in (2, 5) for d, _ in spans)
+
+    def test_self_repetition_counts_and_gap_splits(self, spans):
+        # same-doc repeat is duplication; gap 5 > k keeps two spans
+        assert spans[(3, 2)] == (6, 1)
+        assert spans[(3, 7)] == (11, 1)
+
+    def test_adjacent_windows_merge_to_one_maximal_span(self, spans):
+        assert spans[(4, 2)] == (10, 2)
+        assert (4, 6) not in spans
+
+    def test_boundary_windows_not_flagged(self, spans):
+        # windows straddling the passage boundary differ between docs —
+        # only windows fully inside the planted passage may be flagged
+        assert all(s >= 5 for d, s in spans if d == 0)
+        assert all(e <= 17 for (d, _), (e, _) in spans.items() if d == 0)
+
+    def test_scrub_removes_spans_keeps_rest_in_order(self, span_docs):
+        out = dedup.scrub_duplicated_spans(span_docs, "text", "doc_id", k=self.K)
+        texts = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert texts[0] == " ".join(f"a{i}" for i in range(9))
+        assert texts[1] == " ".join(f"b{i}" for i in range(9))
+        # untouched docs keep the original column verbatim (caps, punct)
+        assert texts[2] == "Unique, UNTOUCHED text; stays Verbatim!"
+        assert texts[5] == "tiny doc"
+        assert texts[3] == "c0 c1 c2 c3"
+        assert texts[4] == "d0 d1 d2 d3"
+
+    def test_no_python_udf_in_plan(self, span_docs):
+        out = dedup.duplicated_spans(span_docs, "text", "doc_id", k=self.K)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
