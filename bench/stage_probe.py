@@ -40,7 +40,7 @@ import time
 STAGES = (
     "prep_uniq", "exact_ladder", "exact_plain",
     "signatures", "banding", "full", "decontaminate",
-    "decontaminate_nobloom",
+    "decontaminate_nobloom", "spans",
 )
 
 
@@ -156,6 +156,10 @@ def main() -> None:
             docs, "text", "doc_id", num_perm=args.num_perm,
             bands=args.bands, n=3, threshold=args.threshold, method="oph",
         ).count
+    elif args.stage == "spans":
+        # substring-level duplicate spans (Lee et al. k-window member);
+        # k=8 whitespace tokens ~ the corpus' short-doc regime
+        action = dedup.duplicated_spans(docs, "text", "doc_id", k=8).count
     elif args.stage in ("decontaminate", "decontaminate_nobloom"):
         # ladder composition: heldout = doc_id % 7 == 0 of the cleaned
         # pool (at the 59M rung clean == uniq, measured round 4);
