@@ -155,3 +155,100 @@ def weighted_sample(
         .limit(k)
         .withColumn("priority", F.round("priority", 6))
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    pre_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: fill a global token
+    ``budget`` across sources in the ratio ``weights`` (the training-mix
+    recipe — e.g. web 0.6 / code 0.2 / books 0.2), selecting each
+    source's docs in md5(id) order until its allocation is full.
+
+    Per-source allocation b_s = floor(budget * w_s / sum(w)); the kept
+    set is the maximal PREFIX of the source's md5 order whose running
+    token sum stays <= b_s (prefix semantics, not knapsack: the first
+    doc that overflows the allocation ends the source — unbiased
+    because md5 order is independent of doc content).  Sources absent
+    from ``weights`` are dropped; ``weights=None`` means equal shares
+    over the observed sources (one tiny distinct() to enumerate them).
+    Pure function of the data: reruns are byte-identical, like the rest
+    of this module.
+
+    ``pre_buckets`` is the hot-source dial (same motivation as
+    ``quota_sample``): the default single window sorts a whole source on
+    one task.  With pre_buckets=S, rows bucket by the md5 key's leading
+    16 bits scaled to S contiguous ranges — bucket order IS key-prefix
+    order — and the budget cut decomposes exactly: per-(source, bucket)
+    token sums (a tiny aggregate) give each bucket its carry-in; buckets
+    that fit entirely under the allocation keep all rows with NO sort,
+    buckets past it drop wholesale, and only the single boundary bucket
+    (~1/S of the source) pays a window cumsum, offset by its carry.
+    Provably the same rows as the single-phase cut (the global running
+    sum at any row = its bucket carry + its in-bucket prefix), asserted
+    by TestTokenBudgetMix equivalence."""
+    key = _hash_key(id_col, salt)
+    if weights is None:
+        srcs = [r[0] for r in df.select(source_col).distinct().collect()]
+        weights = {s: 1.0 for s in srcs}
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    budget_map = F.create_map(
+        *[
+            x
+            for s, w in sorted(weights.items())
+            for x in (F.lit(s), F.lit(int(budget * w / total_w)))
+        ]
+    )
+    b = budget_map[F.col(source_col)]
+    toks = F.col(token_col).cast("long")
+    if pre_buckets:
+        s_n = int(pre_buckets)
+        v = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+        bucket = ((v * s_n) / F.lit(65536)).cast("long")
+        tagged = df.withColumn("__bkt__", bucket)
+        sums = tagged.groupBy(source_col, "__bkt__").agg(
+            F.sum(toks).alias("__bsum__")
+        )
+        wc = (
+            Window.partitionBy(source_col)
+            .orderBy("__bkt__")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = sums.withColumn(
+            "__carry__", F.coalesce(F.sum("__bsum__").over(wc), F.lit(0))
+        )
+        j = tagged.join(F.broadcast(carry), [source_col, "__bkt__"])
+        full = j.filter(F.col("__carry__") + F.col("__bsum__") <= b)
+        boundary = j.filter(
+            (F.col("__carry__") < b) & (F.col("__carry__") + F.col("__bsum__") > b)
+        )
+        wb = (
+            Window.partitionBy(source_col, "__bkt__")
+            .orderBy(key, F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        bkept = (
+            boundary.withColumn("__cum__", F.sum(toks).over(wb))
+            .filter(F.col("__carry__") + F.col("__cum__") <= b)
+            .drop("__cum__")
+        )
+        return full.unionByName(bkept).drop("__bkt__", "__bsum__", "__carry__")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cum__", F.sum(toks).over(w))
+        .filter(F.col("__cum__") <= b)
+        .drop("__cum__")
+    )

@@ -3323,6 +3323,60 @@ def q9c(spark, sf_dir):
     )
 
 
+_Q9D_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+),
+a AS (
+  SELECT *, CASE source WHEN 'src0' THEN 1800 ELSE 600 END AS b FROM d
+),
+c AS (
+  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY k, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM a
+)
+SELECT doc_id, source, n_tok FROM c WHERE cum <= b
+ORDER BY source, doc_id
+"""
+
+
+@query("q9d_token_budget_mix", _Q9D_SQL)
+def q9d(spark, sf_dir):
+    """Deterministic data-mixture sampling
+    (operators/sampling.token_budget_mix): fill a 3000-token budget in
+    the 3:1:1 ratio over three sources, each source's docs taken in
+    md5(id) order until its allocation is full (the training-mix
+    staple: web/code/books ratios at a fixed token budget).
+
+    The Spark side runs the pre_buckets=4 SCALE path — per-(source,
+    key-range-bucket) token sums decompose the budget cut so only the
+    boundary bucket pays a window sort — while the oracle computes the
+    single-phase window cumsum; parity certifies the decomposition is
+    exact cross-engine.  Reference analog: the sorted-slice work cap
+    (/root/reference/src/job/job_generator.py:60-74)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    from associationabacminer_spark.operators import sampling as sampling_ops
+
+    out = sampling_ops.token_budget_mix(
+        d,
+        "source",
+        "doc_id",
+        "n_tok",
+        3000,
+        weights={"src0": 3.0, "src1": 1.0, "src2": 1.0},
+        pre_buckets=4,
+    )
+    return out.orderBy("source", "doc_id")
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

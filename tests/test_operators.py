@@ -2467,3 +2467,83 @@ class TestDuplicatedSpans:
         out = dedup.duplicated_spans(span_docs, "text", "doc_id", k=self.K)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestTokenBudgetMix:
+    """Deterministic per-source token-budget mixture sampling."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(3000):
+            src = "web" if i % 10 < 7 else ("code" if i % 10 < 9 else "books")
+            rows.append((i, src, rng.randint(5, 400)))
+        return spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    def test_prebucket_path_identical_to_single_phase(self, corpus):
+        from associationabacminer_spark.operators.sampling import token_budget_mix
+
+        w = {"web": 0.6, "code": 0.3, "books": 0.1}
+        a = sorted(
+            r["doc_id"]
+            for r in token_budget_mix(
+                corpus, "source", "doc_id", "n_tok", 100_000, weights=w
+            ).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in token_budget_mix(
+                corpus.repartition(13), "source", "doc_id", "n_tok",
+                100_000, weights=w, pre_buckets=8,
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_budget_respected_and_maximal(self, corpus):
+        import hashlib
+
+        from associationabacminer_spark.operators.sampling import token_budget_mix
+
+        w = {"web": 2.0, "code": 1.0, "books": 1.0}
+        budget = 60_000
+        out = token_budget_mix(
+            corpus, "source", "doc_id", "n_tok", budget, weights=w
+        ).collect()
+        total_w = sum(w.values())
+        allocs = {s: int(budget * wt / total_w) for s, wt in w.items()}
+        rows = [(r["source"], r["doc_id"], r["n_tok"]) for r in corpus.collect()]
+        kept = {(r["source"], r["doc_id"]) for r in out}
+        for src in w:
+            used = sum(r["n_tok"] for r in out if r["source"] == src)
+            assert used <= allocs[src]
+            # maximality + prefix semantics vs a local reference walk
+            ordered = sorted(
+                (r for r in rows if r[0] == src),
+                key=lambda r: hashlib.md5(str(r[1]).encode()).hexdigest(),
+            )
+            ref, cum = set(), 0
+            for _, did, nt in ordered:
+                if cum + nt > allocs[src]:
+                    break
+                cum += nt
+                ref.add((src, did))
+            assert {k for k in kept if k[0] == src} == ref
+
+    def test_unweighted_sources_dropped_and_equal_default(self, corpus):
+        from associationabacminer_spark.operators.sampling import token_budget_mix
+
+        out = token_budget_mix(
+            corpus, "source", "doc_id", "n_tok", 30_000, weights={"code": 1.0}
+        )
+        assert out.filter(out.source != "code").count() == 0
+        # weights=None -> equal shares over observed sources
+        eq = token_budget_mix(corpus, "source", "doc_id", "n_tok", 30_000)
+        per = {
+            r["source"]: r["t"]
+            for r in eq.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+        }
+        assert set(per) == {"web", "code", "books"}
+        assert all(v <= 10_000 for v in per.values())
