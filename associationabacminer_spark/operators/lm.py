@@ -1,0 +1,105 @@
+"""N-gram language-model scoring for corpus quality filtering — the
+CCNet / Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") perplexity screen, re-expressed as
+DataFrame aggregations: docs whose cross-entropy under a reference
+bigram model is far above the corpus norm are boilerplate/gibberish
+candidates; far below are template/loop candidates.
+
+Reference analog: the k=v frequency Counter driving constant-column
+detection (/root/reference/src/TableCreator.py:112-128) is a unigram
+count model over events; this module is the same count-model idea one
+order higher, with add-k smoothing and per-doc scoring.
+
+Scale shape: the model is two hash aggregates over token keys (unigram
+contexts + bigram pairs) — vocab-bounded output, orders of magnitude
+smaller than the corpus — and scoring is two equi-joins of the doc-side
+bigram stream against those count tables, then a per-doc aggregate.
+Tokens are xxhash64-hashed BEFORE the shuffle (8 B keys instead of
+strings through every exchange — the repo's slim-before-shuffle rule);
+a 2^-64-per-pair collision can at worst merge two counts, the same
+documented trade as the dedup re-check paths.  AQE broadcasts the count
+tables when they fit; nothing here ever sorts or collects the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bigram_rows(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(id?, hp, hw) hashed bigram rows, one per adjacent token pair.
+    Chained projections keep the token array a bound attribute (the
+    transform-inlining trap documented in minhash_signatures_oph)."""
+    cols = [F.col(id_col)] if id_col else []
+    tokd = df.select(
+        *cols,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks__"),
+    )
+    thd = tokd.select(
+        *([id_col] if id_col else []),
+        F.transform("__toks__", lambda t: F.xxhash64(t)).alias("__th__"),
+    ).filter(F.size("__th__") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__th__") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("__th__"), i).alias("hp"),
+            F.element_at(F.col("__th__"), i + 1).alias("hw"),
+        ),
+    )
+    ex = thd.select(
+        *([id_col] if id_col else []), F.explode(pairs).alias("__pair__")
+    )
+    return ex.select(
+        *([id_col] if id_col else []),
+        F.col("__pair__.hp").alias("hp"),
+        F.col("__pair__.hw").alias("hw"),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model_df: DataFrame | None = None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-doc cross-entropy (nats/token) under an add-k-smoothed bigram
+    model: xent = -avg ln P(w_i | w_{i-1}) with
+    P(w|p) = (C(p,w) + k) / (C(p) + k*V), where C(p) is the bigram
+    CONTEXT count (sum over w of C(p,w) — a doc's last token is not a
+    context) and V the model vocabulary size.  ``model_df=None`` trains
+    on the scored corpus itself (the self-perplexity screen); pass a
+    clean reference corpus for the CCNet filtering setup.  Docs with
+    fewer than two tokens produce no row.
+
+    Returns (id_col, n_bigrams, xent) with xent rounded to 6 — the
+    filter use is ``scores.filter(col("xent") < hi)`` or a
+    quantiles_by_group band."""
+    model = model_df if model_df is not None else df
+    mp = _bigram_rows(model, text_col, id_col=None)
+    bigram = mp.groupBy("hp", "hw").agg(F.count("*").alias("cb"))
+    context = mp.groupBy("hp").agg(F.count("*").alias("cu"))
+    # vocab over all model tokens (contexts + final tokens)
+    v = (
+        mp.select(F.col("hp").alias("h"))
+        .unionAll(mp.select(F.col("hw").alias("h")))
+        .agg(F.countDistinct("h"))
+        .first()[0]
+    )
+    dp = _bigram_rows(df, text_col, id_col)
+    scored = (
+        dp.join(bigram, ["hp", "hw"], "left")
+        .join(context, ["hp"], "left")
+        .withColumn(
+            "__nll__",
+            -F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(float(add_k)))
+                / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(float(add_k) * v))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__nll__"), 6).alias("xent"),
+    )

@@ -3377,6 +3377,47 @@ def q9d(spark, sf_dir):
     return out.orderBy("source", "doc_id")
 
 
+_Q9E_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+),
+wl AS (
+  SELECT doc_id, [{'p': t[i-1], 'w': t[i]} for i in range(2, len(t) + 1)] AS ps
+  FROM toks WHERE len(t) >= 2
+),
+bp AS (SELECT doc_id, x.p AS p, x.w AS w
+       FROM (SELECT doc_id, unnest(ps) AS x FROM wl)),
+cb AS (SELECT p, w, COUNT(*) AS cb FROM bp GROUP BY p, w),
+cu AS (SELECT p, COUNT(*) AS cu FROM bp GROUP BY p),
+v AS (SELECT COUNT(DISTINCT h) AS v
+      FROM (SELECT p AS h FROM bp UNION ALL SELECT w AS h FROM bp)),
+sc AS (
+  SELECT bp.doc_id, -ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS nll
+  FROM bp JOIN cb USING (p, w) JOIN cu USING (p) CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll), 6) AS xent
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q9e_bigram_xent", _Q9E_SQL)
+def q9e(spark, sf_dir):
+    """CCNet-style bigram-LM quality screen (operators/lm.
+    bigram_lm_scores): per-doc cross-entropy in nats/token under an
+    add-0.5-smoothed bigram model trained on the corpus itself.  The
+    Spark side shuffles xxhash64-hashed token keys (8 B, never strings);
+    the oracle computes with the actual token strings — parity certifies
+    the hashing is collision-free on the corpus AND that the count-model
+    joins agree cross-engine.  Reference analog: the k=v frequency
+    Counter (/root/reference/src/TableCreator.py:112-128), one n-gram
+    order higher."""
+    from associationabacminer_spark.operators.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "text", "doc_id").orderBy("doc_id")
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

@@ -61,6 +61,8 @@ HEADLINE = [
     # round 5: substring-level duplicate spans (Lee et al. exact-substring
     # dedup building block; string-free window fingerprints)
     "q9c_duplicated_spans",
+    # round 5: CCNet-style bigram-LM cross-entropy quality screen
+    "q9e_bigram_xent",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

@@ -2547,3 +2547,89 @@ class TestTokenBudgetMix:
         }
         assert set(per) == {"web", "code", "books"}
         assert all(v <= 10_000 for v in per.values())
+
+
+class TestBigramLmScores:
+    """CCNet-style add-k bigram cross-entropy screen."""
+
+    @pytest.fixture(scope="class")
+    def lm_docs(self, spark):
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the hat"),
+            (2, "zx qv zx qv zx"),
+            (3, "one"),          # < 2 tokens -> no row
+            (4, "the the the the"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _ref_scores(texts, model_texts, add_k=0.5):
+        import math
+        from collections import Counter
+
+        def pairs(t):
+            toks = t.strip().lower().split()
+            return list(zip(toks, toks[1:]))
+
+        cb, cu, vocab = Counter(), Counter(), set()
+        for t in model_texts:
+            for p, w in pairs(t):
+                cb[(p, w)] += 1
+                cu[p] += 1
+                vocab.update((p, w))
+        v = len(vocab)
+        out = {}
+        for i, t in texts:
+            ps = pairs(t)
+            if not ps:
+                continue
+            nll = [
+                -math.log((cb[(p, w)] + add_k) / (cu[p] + add_k * v))
+                for p, w in ps
+            ]
+            out[i] = (len(ps), round(sum(nll) / len(nll), 6))
+        return out
+
+    def test_matches_local_reference_self_model(self, spark, lm_docs):
+        from associationabacminer_spark.operators.lm import bigram_lm_scores
+
+        rows = [(r["doc_id"], r["text"]) for r in lm_docs.collect()]
+        ref = self._ref_scores(rows, [t for _, t in rows])
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["xent"])
+            for r in bigram_lm_scores(lm_docs, "text", "doc_id").collect()
+        }
+        assert set(got) == set(ref) and 3 not in got
+        for k in ref:
+            assert got[k][0] == ref[k][0]
+            assert abs(got[k][1] - ref[k][1]) <= 1e-6
+
+    def test_external_model_and_oov_floor(self, spark, lm_docs):
+        from associationabacminer_spark.operators.lm import bigram_lm_scores
+
+        model = lm_docs.filter(lm_docs.doc_id.isin(0, 1))
+        out = {
+            r["doc_id"]: r["xent"]
+            for r in bigram_lm_scores(
+                lm_docs, "text", "doc_id", model_df=model
+            ).collect()
+        }
+        rows = [(r["doc_id"], r["text"]) for r in lm_docs.collect()]
+        mtexts = [t for i, t in rows if i in (0, 1)]
+        ref = self._ref_scores(rows, mtexts)
+        for k, x in out.items():
+            assert abs(x - ref[k][1]) <= 1e-6
+        # fully-OOV doc floors at -ln(k/(k*V)) = ln(V); V=6 model tokens
+        import math
+        assert abs(out[2] - round(math.log(6), 6)) <= 1e-6
+        # in-model doc scores far below the OOV floor
+        assert out[0] < out[2]
+
+    def test_no_python_udf_and_no_cartesian(self, lm_docs):
+        from associationabacminer_spark.operators.lm import bigram_lm_scores
+
+        out = bigram_lm_scores(lm_docs, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
