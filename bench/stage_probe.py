@@ -40,7 +40,7 @@ import time
 STAGES = (
     "prep_uniq", "exact_ladder", "exact_plain",
     "signatures", "banding", "full", "decontaminate",
-    "decontaminate_nobloom", "spans",
+    "decontaminate_nobloom", "spans", "lm", "mix",
 )
 
 
@@ -160,6 +160,29 @@ def main() -> None:
         # substring-level duplicate spans (Lee et al. k-window member);
         # k=8 whitespace tokens ~ the corpus' short-doc regime
         action = dedup.duplicated_spans(docs, "text", "doc_id", k=8).count
+    elif args.stage == "lm":
+        # CCNet-style bigram cross-entropy, self-trained model
+        from associationabacminer_spark.operators.lm import bigram_lm_scores
+
+        action = bigram_lm_scores(docs, "text", "doc_id").count
+    elif args.stage == "mix":
+        # token-budget mixture over a derived 16-way source split;
+        # budget ~38% of the corpus tokens so the boundary cut engages
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.functions.text import token_count
+        from associationabacminer_spark.operators.sampling import token_budget_mix
+
+        tagged = docs.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("string").alias("source"),
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        weights = {str(i): 1.0 for i in range(16)}
+        action = token_budget_mix(
+            tagged, "source", "doc_id", "n_tok", int(n_input * 5),
+            weights=weights, pre_buckets=64,
+        ).count
     elif args.stage in ("decontaminate", "decontaminate_nobloom"):
         # ladder composition: heldout = doc_id % 7 == 0 of the cleaned
         # pool (at the 59M rung clean == uniq, measured round 4);
