@@ -103,3 +103,48 @@ def bigram_lm_scores(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("__nll__"), 6).alias("xent"),
     )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str, id_col: str, ns: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """Within-doc duplicate n-gram fractions (the Gopher / Rae et al.
+    2021 repetition rules): for each n, the fraction of the doc's
+    n-gram occurrences that are repeats of an earlier occurrence —
+    1 - distinct/total.  Catches loop/template degeneration that the
+    corpus-level screens miss and the token-level repetition_ratio
+    underweights (a doc alternating two sentences has low token
+    repetition but dup_3gram_frac -> 1).
+
+    ZERO-shuffle scale shape: every column is a per-row expression over
+    the token-hash array (n-grams hashed via xxhash64 over slices — no
+    n-gram strings), so the whole filter is map-side; the plan contains
+    no Exchange at all.  The token-hash array is projected ONCE in a
+    chained select (the transform-inlining trap again), shared by all
+    requested n.
+
+    Returns ``df``'s id plus ``n_tokens`` and one ``dup_{n}gram_frac``
+    per n (rounded to 6); docs with fewer than n tokens score 0.0 for
+    that n."""
+    tokd = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks__"),
+    )
+    thd = tokd.select(
+        id_col, F.transform("__toks__", lambda t: F.xxhash64(t)).alias("__th__")
+    )
+    cols = [F.size("__th__").cast("long").alias("n_tokens")]
+
+    def gram_hash(n: int):
+        # NB: must be a ONE-parameter lambda — pyspark passes (element,
+        # index) to two-parameter transform lambdas, so `lambda i, n=n:`
+        # silently binds n to the INDEX (the documented shadowing trap)
+        return lambda i: F.xxhash64(F.slice(F.col("__th__"), i + 1, n))
+
+    for n in ns:
+        grams = F.transform(F.sequence(F.lit(0), F.size("__th__") - n), gram_hash(n))
+        frac = F.when(
+            F.size("__th__") < n, F.lit(0.0)
+        ).otherwise(1.0 - F.size(F.array_distinct(grams)) / F.size(grams))
+        cols.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
+    return thd.select(id_col, *cols)

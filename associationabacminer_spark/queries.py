@@ -3418,6 +3418,44 @@ def q9e(spark, sf_dir):
     return bigram_lm_scores(d, "text", "doc_id").orderBy("doc_id")
 
 
+_Q9F_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CASE WHEN len(t) < 2 THEN 0.0 ELSE ROUND(
+         1 - len(list_distinct([array_to_string(t[i:i+1], ' ')
+                                for i in range(1, len(t))]))
+             / CAST(len(t) - 1 AS DOUBLE), 6) END AS dup_2gram_frac,
+       CASE WHEN len(t) < 3 THEN 0.0 ELSE ROUND(
+         1 - len(list_distinct([array_to_string(t[i:i+2], ' ')
+                                for i in range(1, len(t) - 1)]))
+             / CAST(len(t) - 2 AS DOUBLE), 6) END AS dup_3gram_frac,
+       CASE WHEN len(t) < 4 THEN 0.0 ELSE ROUND(
+         1 - len(list_distinct([array_to_string(t[i:i+3], ' ')
+                                for i in range(1, len(t) - 2)]))
+             / CAST(len(t) - 3 AS DOUBLE), 6) END AS dup_4gram_frac
+FROM toks ORDER BY doc_id
+"""
+
+
+@query("q9f_gopher_repetition", _Q9F_SQL)
+def q9f(spark, sf_dir):
+    """Within-doc duplicate n-gram fractions (operators/lm.
+    gopher_repetition, the Gopher/Rae et al. repetition rules) for
+    n = 2, 3, 4 — a ZERO-shuffle quality screen: every column is a
+    per-row expression over the once-projected token-hash array, hashed
+    n-grams via xxhash64 slices (no n-gram strings).  The oracle builds
+    the actual n-gram strings; parity certifies the hashed distinct
+    counts.  Complements the corpus-level screens (q78 token
+    repetition, q9e LM xent)."""
+    from associationabacminer_spark.operators.lm import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_repetition(d, "text", "doc_id").orderBy("doc_id")
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

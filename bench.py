@@ -63,6 +63,8 @@ HEADLINE = [
     "q9c_duplicated_spans",
     # round 5: CCNet-style bigram-LM cross-entropy quality screen
     "q9e_bigram_xent",
+    # round 5: Gopher repetition rules (zero-shuffle map-side screen)
+    "q9f_gopher_repetition",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

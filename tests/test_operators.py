@@ -2633,3 +2633,53 @@ class TestBigramLmScores:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestGopherRepetition:
+    """Within-doc duplicate n-gram fractions (Gopher repetition rules)."""
+
+    def test_known_fractions_and_edges(self, spark):
+        from associationabacminer_spark.operators.lm import gopher_repetition
+
+        rows = [
+            (0, "a b a b a b"),       # 2g: 5 tot/2 dist; 3g: 4/2; 4g: 3/2
+            (1, "u v w x y z"),       # all unique
+            (2, "one"),               # shorter than every n
+            (3, "p q"),               # exactly 2 tokens -> one 2-gram
+            (4, ""),                  # empty text
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_repetition(df, "text", "doc_id").collect()
+        }
+        assert out[0]["dup_2gram_frac"] == round(1 - 2 / 5, 6)
+        assert out[0]["dup_3gram_frac"] == round(1 - 2 / 4, 6)
+        assert out[0]["dup_4gram_frac"] == round(1 - 2 / 3, 6)
+        assert all(out[1][f"dup_{n}gram_frac"] == 0.0 for n in (2, 3, 4))
+        assert all(out[2][f"dup_{n}gram_frac"] == 0.0 for n in (2, 3, 4))
+        assert out[3]["dup_2gram_frac"] == 0.0
+        assert out[4]["dup_2gram_frac"] == 0.0
+        assert out[0]["n_tokens"] == 6
+
+    def test_alternating_doc_beats_token_repetition_signal(self, spark):
+        from associationabacminer_spark.operators.lm import gopher_repetition
+
+        df = spark.createDataFrame(
+            [(0, "the cat sat here " * 30)], "doc_id long, text string"
+        )
+        out = gopher_repetition(df, "text", "doc_id").first()
+        assert out["dup_4gram_frac"] > 0.95
+
+    def test_zero_shuffle_plan(self, spark):
+        from associationabacminer_spark.operators.lm import gopher_repetition
+
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        plan = (
+            gopher_repetition(df, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
