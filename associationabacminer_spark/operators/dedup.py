@@ -733,7 +733,11 @@ def scrub_duplicated_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
     )
     joined = df.join(per_doc, id_col, "left")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # reconstruct from the ORIGINAL-case tokens: span indices were
+    # computed on lowercased tokens, but lowercasing never changes
+    # whitespace token boundaries, so positions map 1:1 — survivors keep
+    # their original casing
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     kept = F.filter(
         toks,
         lambda t, i: ~F.exists(

@@ -228,8 +228,13 @@ def token_budget_mix(
         )
         j = tagged.join(F.broadcast(carry), [source_col, "__bkt__"])
         full = j.filter(F.col("__carry__") + F.col("__bsum__") <= b)
+        # boundary uses <= (not <): a bucket whose carry EQUALS the
+        # allocation can still contain zero-token rows at its head that
+        # the single-phase cut keeps (cum == b); with < they'd be
+        # dropped wholesale.  Disjoint from `full` because here
+        # carry + bsum > b.
         boundary = j.filter(
-            (F.col("__carry__") < b) & (F.col("__carry__") + F.col("__bsum__") > b)
+            (F.col("__carry__") <= b) & (F.col("__carry__") + F.col("__bsum__") > b)
         )
         wb = (
             Window.partitionBy(source_col, "__bkt__")

@@ -2683,3 +2683,51 @@ class TestGopherRepetition:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestNewOperatorEdges:
+    """Round-5 self-review regressions for the new curation operators."""
+
+    def test_mix_exact_boundary_keeps_zero_token_head(self, spark):
+        # a bucket whose carry EQUALS the allocation must still keep
+        # zero-token rows the single-phase cut keeps (boundary uses <=)
+        import hashlib
+
+        from associationabacminer_spark.operators.sampling import token_budget_mix
+
+        ids = list(range(21))
+        order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        zero_ids = set(order[:3])  # md5-first rows are the zero-token ones
+        rows = [(i, "s", 0 if i in zero_ids else 5) for i in ids]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+        single = sorted(
+            r["doc_id"]
+            for r in token_budget_mix(
+                df, "source", "doc_id", "n_tok", 0, weights={"s": 1.0}
+            ).collect()
+        )
+        two = sorted(
+            r["doc_id"]
+            for r in token_budget_mix(
+                df, "source", "doc_id", "n_tok", 0, weights={"s": 1.0},
+                pre_buckets=1,
+            ).collect()
+        )
+        assert single == sorted(zero_ids)
+        assert two == single
+
+    def test_scrub_preserves_original_case_of_survivors(self, spark):
+        from associationabacminer_spark.operators import dedup
+
+        passage = " ".join(f"p{i}" for i in range(12))
+        rows = [
+            (0, "KEEP Me " + passage + " And THIS"),
+            (1, "Other Doc " + passage + " Tail HERE"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.scrub_duplicated_spans(df, "text", "doc_id", k=4).collect()
+        }
+        assert out[0] == "KEEP Me And THIS"
+        assert out[1] == "Other Doc Tail HERE"
