@@ -87,6 +87,12 @@ def bigram_lm_scores(
         .agg(F.countDistinct("h"))
         .first()[0]
     )
+    if not v:
+        # every P(w|p) would be 0.5/0 -> xent = -inf; fail loudly instead
+        raise ValueError(
+            "model corpus has no bigrams (no doc with >= 2 tokens) — "
+            "cannot train a bigram model"
+        )
     dp = _bigram_rows(df, text_col, id_col)
     scored = (
         dp.join(bigram, ["hp", "hw"], "left")

@@ -2731,3 +2731,69 @@ class TestNewOperatorEdges:
         }
         assert out[0] == "KEEP Me And THIS"
         assert out[1] == "Other Doc Tail HERE"
+
+
+class TestStreamingQualityScreens:
+    """The new quality screens in structured streaming: gopher rules are
+    a stateless map; LM scoring is stream-static joins against a FROZEN
+    reference model + a streaming aggregate."""
+
+    def test_stream_scores_match_batch(self, spark, tmp_path):
+        from associationabacminer_spark.operators.lm import (
+            bigram_lm_scores,
+            gopher_repetition,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        model = docs.filter(docs.doc_id % 2 == 0)  # frozen reference corpus
+        src = str(tmp_path / "docs-src")
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+
+        q1 = (
+            bigram_lm_scores(stream, "text", "doc_id", model_df=model)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("lmout")
+            .start()
+        )
+        q2 = (
+            gopher_repetition(stream, "text", "doc_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("gopherout")
+            .start()
+        )
+        try:
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+            got_lm = {
+                r["doc_id"]: (r["n_bigrams"], r["xent"])
+                for r in spark.sql("select * from lmout").collect()
+            }
+            got_rep = {
+                r["doc_id"]: r["dup_3gram_frac"]
+                for r in spark.sql("select * from gopherout").collect()
+            }
+        finally:
+            q1.stop()
+            q2.stop()
+        want_lm = {
+            r["doc_id"]: (r["n_bigrams"], r["xent"])
+            for r in bigram_lm_scores(
+                docs, "text", "doc_id", model_df=model
+            ).collect()
+        }
+        want_rep = {
+            r["doc_id"]: r["dup_3gram_frac"]
+            for r in gopher_repetition(docs, "text", "doc_id").collect()
+        }
+        assert got_lm == want_lm and len(got_lm) > 0
+        assert got_rep == want_rep
+
+    def test_empty_model_raises(self, spark):
+        from associationabacminer_spark.operators.lm import bigram_lm_scores
+
+        df = spark.createDataFrame([(0, "only"), (1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="no bigrams"):
+            bigram_lm_scores(df, "text", "doc_id")
