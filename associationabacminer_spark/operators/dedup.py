@@ -672,6 +672,23 @@ def duplicated_spans(
     k-windows inside the span.  A fingerprint collision (2^-64 per
     window pair) can at worst extend a span — the documented trade shared
     with the decontaminate/LSH re-check paths."""
+    return (
+        _span_islands(df, text_col, id_col, k, min_count)
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            (F.max("s") + k).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+def _span_islands(
+    df: DataFrame, text_col: str, id_col: str, k: int, min_count: int
+) -> DataFrame:
+    """(id, s, fp, island) duplicated-window rows with their per-doc
+    gap-and-island span assignment (see ``duplicated_spans``)."""
     from pyspark.sql import Window
 
     wins = _window_fingerprint_rows(df, text_col, id_col, k)
@@ -683,7 +700,7 @@ def duplicated_spans(
     )
     hits = wins.join(dup_fps, "fp", "left_semi")
     w = Window.partitionBy(id_col).orderBy("s")
-    islands = (
+    return (
         hits.withColumn("prev_s", F.lag("s").over(w))
         .withColumn(
             "brk",
@@ -692,15 +709,57 @@ def duplicated_spans(
             ).otherwise(0),
         )
         .withColumn("island", F.sum("brk").over(w))
+        .drop("prev_s", "brk")
     )
-    return (
-        islands.groupBy(id_col, "island")
+
+
+def duplicated_span_witnesses(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """``duplicated_spans`` plus an ``is_witness`` flag implementing the
+    keep-one policy: a span is a WITNESS iff it is the minimal
+    (id, span_start) occurrence of at least one of its duplicated
+    k-windows.  Scrubbing only non-witness spans then guarantees every
+    duplicated substring keeps >= 1 intact occurrence (its minimal
+    span survives whole) — the Lee et al. all-but-one direction,
+    conservatively: a witness span may preserve extra copies of windows
+    whose own witness is elsewhere.
+
+    One extra aggregate over the witness candidates: per fp, min of the
+    (id, span_start) struct (lexicographic struct min — portable), then
+    a semi-join flag onto the span table.  No pair join, no closure."""
+    isl = _span_islands(df, text_col, id_col, k, min_count)
+    spans = (
+        isl.groupBy(id_col, "island")
         .agg(
             F.min("s").cast("long").alias("span_start"),
             (F.max("s") + k).cast("long").alias("span_end"),
             F.count("*").alias("n_windows"),
         )
-        .drop("island")
+    )
+    tagged = isl.join(spans, [id_col, "island"]).select(
+        "fp", F.col(id_col), "span_start"
+    )
+    witnesses = (
+        tagged.groupBy("fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("w"))
+        .select(
+            F.col("w")[id_col].alias(id_col),
+            F.col("w")["span_start"].alias("span_start"),
+        )
+        .distinct()
+    )
+    flagged = spans.drop("island").join(
+        witnesses.withColumn("is_witness", F.lit(True)),
+        [id_col, "span_start"],
+        "left",
+    )
+    return flagged.withColumn(
+        "is_witness", F.coalesce(F.col("is_witness"), F.lit(False))
     )
 
 
@@ -711,14 +770,18 @@ def scrub_duplicated_spans(
     k: int = 8,
     min_count: int = 2,
     spans: DataFrame | None = None,
+    keep_one: bool = False,
 ) -> DataFrame:
     """Remove duplicated spans from the corpus: every token inside a
     ``duplicated_spans`` interval is dropped and the remainder rejoined
     with single spaces (tokens outside spans keep their relative order).
-    NOTE the policy difference from Lee et al.: this removes EVERY
-    occurrence of a duplicated span (boilerplate-scrub semantics), not
-    all-but-one; layering a keep-one-canonical policy means exempting
-    one (id, span) per duplicate group upstream.
+    Two policies:
+
+    * ``keep_one=False`` (default): remove EVERY occurrence of a
+      duplicated span — boilerplate-scrub semantics.
+    * ``keep_one=True``: the Lee et al. all-but-one direction — witness
+      spans (``duplicated_span_witnesses``) are exempt, so every
+      duplicated substring keeps at least one intact occurrence.
 
     The span table is collect_list'ed per doc (bounded: spans per doc
     <= n_tokens / k) and joined back broadcast-or-shuffle by doc id; the
@@ -728,7 +791,12 @@ def scrub_duplicated_spans(
     from tokenization-normalized whitespace ONLY inside scrubbed docs —
     untouched docs keep their original text column verbatim)."""
     if spans is None:
-        spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count)
+        if keep_one:
+            spans = duplicated_span_witnesses(
+                df, text_col, id_col, k=k, min_count=min_count
+            ).filter(~F.col("is_witness"))
+        else:
+            spans = duplicated_spans(df, text_col, id_col, k=k, min_count=min_count)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans__")
     )

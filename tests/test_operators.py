@@ -2797,3 +2797,79 @@ class TestStreamingQualityScreens:
         df = spark.createDataFrame([(0, "only"), (1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="no bigrams"):
             bigram_lm_scores(df, "text", "doc_id")
+
+
+class TestSpanWitnesses:
+    """Keep-one policy: witness spans preserve every duplicated substring."""
+
+    def test_two_copies_min_survives(self, spark):
+        from associationabacminer_spark.operators import dedup
+
+        passage = " ".join(f"p{i}" for i in range(12))
+        rows = [
+            (0, "a0 a1 " + passage + " a2"),
+            (1, "b0 " + passage + " b1 b2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["doc_id"], r["span_start"]): r["is_witness"]
+            for r in dedup.duplicated_span_witnesses(
+                df, "text", "doc_id", k=4
+            ).collect()
+        }
+        # doc 0's span starts at 2, doc 1's at 1; min (id, start) = (0, 2)
+        assert out[(0, 2)] is True
+        assert out[(1, 1)] is False
+
+    def test_chain_every_substring_keeps_a_witness(self, spark):
+        from associationabacminer_spark.operators import dedup
+
+        p1 = " ".join(f"x{i}" for i in range(6))
+        p2 = " ".join(f"y{i}" for i in range(6))
+        rows = [
+            (0, "a0 a1 a2 " + p1 + " a3 a4 a5"),          # P1 only
+            (1, p1 + " m0 m1 m2 m3 m4 " + p2),            # P1 and P2
+            (2, "c0 c1 c2 " + p2 + " c3 c4 c5"),          # P2 only
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        wit = dedup.duplicated_span_witnesses(df, "text", "doc_id", k=4)
+        rowsw = {(r["doc_id"], r["span_start"]): r["is_witness"] for r in wit.collect()}
+        # doc1 splits into two spans (P1 at 0, P2 at 11 — gap > k).
+        # P1's min occurrence is doc 0; P2's is doc 1's second span.
+        assert rowsw[(0, 3)] is True      # P1 witness
+        assert rowsw[(1, 0)] is False     # doc1's P1 copy loses to doc0's
+        assert rowsw[(1, 11)] is True     # P2 witness
+        assert rowsw[(2, 3)] is False     # doc2's P2 copy loses to doc1's
+        # scrub keep_one: P1 survives in doc0, P2 survives in doc1
+        scrubbed = {
+            r["doc_id"]: r["text"]
+            for r in dedup.scrub_duplicated_spans(
+                df, "text", "doc_id", k=4, keep_one=True
+            ).collect()
+        }
+        assert p1 in scrubbed[0]
+        assert p2 in scrubbed[2] or p2 in scrubbed[1]
+        # every duplicated substring retains >= 1 occurrence corpus-wide
+        all_text = " | ".join(scrubbed.values())
+        assert p1 in all_text and p2 in all_text
+
+    def test_keep_one_false_removes_all(self, spark):
+        from associationabacminer_spark.operators import dedup
+
+        passage = " ".join(f"q{i}" for i in range(8))
+        rows = [(0, "a " + passage), (1, "b " + passage)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        scrubbed = {
+            r["doc_id"]: r["text"]
+            for r in dedup.scrub_duplicated_spans(
+                df, "text", "doc_id", k=4, keep_one=False
+            ).collect()
+        }
+        assert passage not in scrubbed[0] and passage not in scrubbed[1]
+        one = {
+            r["doc_id"]: r["text"]
+            for r in dedup.scrub_duplicated_spans(
+                df, "text", "doc_id", k=4, keep_one=True
+            ).collect()
+        }
+        assert (passage in one[0]) ^ (passage in one[1])
