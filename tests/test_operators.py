@@ -2873,3 +2873,54 @@ class TestSpanWitnesses:
             ).collect()
         }
         assert (passage in one[0]) ^ (passage in one[1])
+
+
+class TestSpanFuzzParity:
+    """Randomized duplicated_spans parity vs a brute-force local
+    reference — tiny alphabet forces dense duplication and exercises
+    every island-merge boundary (overlap, exact adjacency, gaps)."""
+
+    def test_random_corpus_matches_reference(self, spark):
+        import random
+
+        K = 3
+        rng = random.Random(1234)
+        docs = [
+            (i, " ".join(rng.choice("abcd") for _ in range(rng.randint(1, 30))))
+            for i in range(120)
+        ]
+
+        # reference: window fingerprints by actual text, corpus counts,
+        # per-doc sorted merge with gap > K splitting
+        from collections import Counter
+
+        wins = {}
+        counts = Counter()
+        for i, t in docs:
+            toks = t.strip().lower().split()
+            ws = [
+                (s, " ".join(toks[s : s + K]))
+                for s in range(len(toks) - K + 1)
+            ]
+            wins[i] = ws
+            counts.update(w for _, w in ws)
+        want = set()
+        for i, _ in docs:
+            starts = [s for s, w in wins[i] if counts[w] >= 2]
+            run = []
+            for s in sorted(starts):
+                if run and s - run[-1] > K:
+                    want.add((i, run[0], run[-1] + K, len(run)))
+                    run = []
+                run.append(s)
+            if run:
+                want.add((i, run[0], run[-1] + K, len(run)))
+
+        from associationabacminer_spark.operators import dedup
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in dedup.duplicated_spans(df, "text", "doc_id", k=K).collect()
+        }
+        assert got == want and len(want) > 50
