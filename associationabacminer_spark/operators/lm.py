@@ -78,12 +78,20 @@ def bigram_lm_scores(
     quantiles_by_group band."""
     model = model_df if model_df is not None else df
     mp = _bigram_rows(model, text_col, id_col=None)
-    bigram = mp.groupBy("hp", "hw").agg(F.count("*").alias("cb"))
-    context = mp.groupBy("hp").agg(F.count("*").alias("cu"))
-    # vocab over all model tokens (contexts + final tokens)
+    # ONE corpus pass: the bigram count table.  Context counts and the
+    # vocabulary both derive from it (cu(p) = sum_w cb(p, w); every
+    # token of a >= 2-token doc appears in some bigram, so
+    # vocab = distinct hp ∪ hw of the TABLE) — aggregating the
+    # vocab-bounded counts table instead of re-scanning the corpus cuts
+    # the model side from three corpus scans to one.
+    # persisted: the vocab-bounded trained model — the v scalar job below
+    # materializes it once, and the scoring joins then read the cache
+    # instead of re-deriving the counts from the corpus
+    bigram = mp.groupBy("hp", "hw").agg(F.count("*").alias("cb")).persist()
+    context = bigram.groupBy("hp").agg(F.sum("cb").alias("cu"))
     v = (
-        mp.select(F.col("hp").alias("h"))
-        .unionAll(mp.select(F.col("hw").alias("h")))
+        bigram.select(F.col("hp").alias("h"))
+        .unionAll(bigram.select(F.col("hw").alias("h")))
         .agg(F.countDistinct("h"))
         .first()[0]
     )
