@@ -52,18 +52,65 @@ class TestCurationPipeline:
             == 0
         )
 
+        # 1b. substring-level scrub, keep-one policy: every duplicated
+        # window keeps a witness; the corpus-wide duplicated-window count
+        # strictly decreases
+        def dup_window_hits(d):
+            return (
+                dedup.duplicated_spans(d, "text", "doc_id", k=8)
+                .agg(F.coalesce(F.sum("n_windows"), F.lit(0)))
+                .collect()[0][0]
+            )
+
+        hits_before = dup_window_hits(uniq)
+        assert hits_before > 0  # natural boilerplate exists at sf0.01
+        # materialize between stages (what the lineage ledger does in a
+        # real run) — every downstream stage otherwise re-executes the
+        # scrub's join+window lineage per action
+        scrubbed = (
+            dedup.scrub_duplicated_spans(uniq, "text", "doc_id", k=8, keep_one=True)
+            .filter(F.trim(F.col("text")) != "")
+            .localCheckpoint()
+        )
+        assert dup_window_hits(scrubbed) < hits_before
+
         # 2. near-dup closure: MinHash-LSH pairs -> components -> keep roots
         pairs = dedup.minhash_lsh_dedup(
-            uniq, "text", "doc_id", num_perm=32, bands=16, n=3, threshold=0.6
+            scrubbed, "text", "doc_id", num_perm=32, bands=16, n=3, threshold=0.6
         ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        survivors = near_dedup_keep_roots(uniq, pairs, "doc_id")
+        survivors = near_dedup_keep_roots(scrubbed, pairs, "doc_id")
 
-        # 3. quality + repetition screen
-        clean = survivors.filter(
+        # 3. quality + repetition screen (token-level, then the Gopher
+        # n-gram rules, then the bigram-LM cross-entropy band)
+        from associationabacminer_spark.operators.lm import (
+            bigram_lm_scores,
+            gopher_repetition,
+        )
+
+        rep = gopher_repetition(survivors, "text", "doc_id")
+        assert (
+            rep.filter(F.col("doc_id") == 9_000_001)
+            .filter(F.col("dup_2gram_frac") > 0.9)
+            .count()
+            == 1
+        )  # the injected spam loop is exactly what the Gopher rules catch
+        ok_rep = rep.filter(
+            (F.col("dup_3gram_frac") < 0.9) & (F.col("dup_4gram_frac") < 0.9)
+        ).select("doc_id")
+        screened = survivors.join(ok_rep, "doc_id", "left_semi")
+        clean = screened.filter(
             (repetition_ratio(F.col("text")) < 0.8)
             & (quality_score(F.col("text")) > 0.0)
         )
         assert clean.filter(F.col("doc_id") == 9_000_001).count() == 0
+        xent = bigram_lm_scores(clean, "text", "doc_id")
+        assert xent.filter(F.col("xent").isNull()).count() == 0
+        clean = clean.join(
+            xent.filter(F.col("xent") < 100.0).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        assert clean.count() > 0
 
         # 4. decontaminate vs a held-out slice of itself (guaranteed hits)
         test_set = clean.filter(F.col("doc_id") % 7 == 0)
@@ -88,6 +135,26 @@ class TestCurationPipeline:
             capped.groupBy("source").count().agg(F.max("count")).collect()[0][0]
         )
         assert worst <= 50
+
+        # 5b. token-budget mixture: equal shares over sources, budget
+        # tight enough to bind every source's allocation
+        from associationabacminer_spark.functions.text import token_count
+
+        with_tok = capped.withColumn(
+            "n_tok", token_count(F.col("text")).cast("long")
+        )
+        n_sources = with_tok.select("source").distinct().count()
+        mixed = sampling.token_budget_mix(
+            with_tok, "source", "doc_id", "n_tok", 200 * n_sources,
+            pre_buckets=8,
+        )
+        per_src = {
+            r["source"]: r["t"]
+            for r in mixed.groupBy("source")
+            .agg(F.sum("n_tok").alias("t"))
+            .collect()
+        }
+        assert all(v <= 200 for v in per_src.values())
 
         # 6. sequence packing: every doc placed exactly once, offsets valid
         packed = pack_sequences(capped, "doc_id", "text", budget=256, n_buckets=4)
