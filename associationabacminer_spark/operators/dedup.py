@@ -817,3 +817,116 @@ def scrub_duplicated_spans(
         F.col("__spans__").isNull(), F.col(text_col)
     ).otherwise(F.array_join(kept, " "))
     return joined.withColumn(text_col, scrubbed).drop("__spans__")
+
+
+def paragraph_frequencies(
+    df: DataFrame, text_col: str, id_col: str, sep: str = r"\n+"
+) -> DataFrame:
+    """(hpar, n_occ) corpus-wide occurrence counts of paragraph hashes —
+    the count table behind ``scrub_common_paragraphs``.  Paragraphs are
+    the ``sep``-regex splits of ``text_col``, trimmed; splits that trim
+    to '' (separator runs at the edges) are not paragraphs.  The key is
+    ``xxhash64`` of the trimmed paragraph (8 B through the one shuffle,
+    never the string — slim-before-shuffle), uniform, skew-free."""
+    paras = _paragraph_rows(df, text_col, id_col, sep)
+    return paras.groupBy("hpar").agg(F.count("*").alias("n_occ"))
+
+
+def _paragraph_rows(
+    df: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """(id, pos, par, hpar) one row per non-empty trimmed paragraph,
+    pos = 0-based split index (original order key)."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "__raw__"),
+    )
+    return (
+        ex.select(id_col, "pos", F.trim("__raw__").alias("par"))
+        .filter(F.col("par") != "")
+        .withColumn("hpar", F.xxhash64("par"))
+    )
+
+
+def scrub_common_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    keep_one: bool = False,
+    sep: str = r"\n+",
+    rebuild_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide duplicate-paragraph (boilerplate) removal — the
+    paragraph-hash dedup step of CCNet (Wenzek et al. 2020) and
+    RefinedWeb (Penedo et al. 2023): navigation chrome, license
+    blocks, and cookie banners repeat VERBATIM across millions of pages,
+    at a granularity doc-level dedup can't see and span-level dedup
+    (``duplicated_spans``) only catches when they are long enough.  A
+    paragraph whose corpus occurrence count >= ``min_df`` is scrubbed:
+
+    * ``keep_one=False`` (default): every occurrence dropped — the CCNet
+      boilerplate-removal semantics.
+    * ``keep_one=True``: the minimal (id, pos) occurrence survives (one
+      witness per distinct paragraph — all-but-one dedup), via one extra
+      struct-min on the same aggregate, no pair join.
+
+    Scale shape (two shuffles, both on bounded keys): (1) paragraph
+    rows explode map-side and hash-aggregate on the 8-byte ``xxhash64``
+    key — uniform, no skew; only hashes with n_occ >= min_df survive the
+    HAVING, so the join table is the (small) boilerplate set, broadcast
+    by AQE when it fits.  (2) the per-doc rebuild groupBy.  Paragraph
+    STRINGS never enter a shuffle; a 2^-64-per-pair hash collision can
+    at worst scrub an innocent paragraph — the documented trade shared
+    with every hashed-key path in this module.
+
+    Returns one row per input doc: (id_col, text_col = rebuilt text
+    with ``rebuild_sep`` between surviving paragraphs, n_paras,
+    n_scrubbed).  Docs whose every paragraph is scrubbed (or that had
+    none) come back with '' — filter on ``text_col != ''`` to drop
+    them, keep them to preserve row alignment."""
+    paras = _paragraph_rows(df, text_col, id_col, sep)
+    sid = F.col(id_col).cast("string")
+    hot = (
+        paras.groupBy("hpar")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct(sid.alias("i"), F.col("pos").alias("p"))).alias("__wit__"),
+        )
+        .filter(F.col("n_occ") >= min_df)
+        .select("hpar", "__wit__")
+    )
+    j = paras.join(hot, "hpar", "left")
+    keep = F.col("__wit__").isNull()
+    if keep_one:
+        keep = keep | (
+            (F.col("__wit__.i") == sid) & (F.col("__wit__.p") == F.col("pos"))
+        )
+    tagged = j.select(
+        id_col,
+        "pos",
+        "par",
+        keep.alias("__keep__"),
+    )
+    agg = tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("__keep__"), 0).otherwise(1)).alias("n_scrubbed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep__"), F.struct("pos", "par"))
+                    )
+                ),
+                lambda x: x["par"],
+            ),
+            rebuild_sep,
+        ).alias("__text__"),
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("__text__", F.lit("")).alias(text_col),
+        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce("n_scrubbed", F.lit(0)).cast("long").alias("n_scrubbed"),
+    )

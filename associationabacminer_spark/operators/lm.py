@@ -63,6 +63,7 @@ def bigram_lm_scores(
     id_col: str,
     model_df: DataFrame | None = None,
     add_k: float = 0.5,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Per-doc cross-entropy (nats/token) under an add-k-smoothed bigram
     model: xent = -avg ln P(w_i | w_{i-1}) with
@@ -73,9 +74,10 @@ def bigram_lm_scores(
     clean reference corpus for the CCNet filtering setup.  Docs with
     fewer than two tokens produce no row.
 
-    Returns (id_col, n_bigrams, xent) with xent rounded to 6 — the
-    filter use is ``scores.filter(col("xent") < hi)`` or a
-    quantiles_by_group band."""
+    Returns (id_col, n_bigrams, xent) with xent rounded to ``round_to``
+    (``None`` = unrounded, for callers composing further arithmetic —
+    ``dsir_logratio``) — the filter use is
+    ``scores.filter(col("xent") < hi)`` or a quantiles_by_group band."""
     model = model_df if model_df is not None else df
     mp = _bigram_rows(model, text_col, id_col=None)
     # ONE corpus pass: the bigram count table.  Context counts and the
@@ -113,9 +115,61 @@ def bigram_lm_scores(
             ),
         )
     )
+    xent = F.avg("__nll__")
+    if round_to is not None:
+        xent = F.round(xent, round_to)
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.avg("__nll__"), 6).alias("xent"),
+        xent.alias("xent"),
+    )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_df: DataFrame,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    the log-likelihood ratio log p_target(x) - log p_raw(x) under two
+    hashed-n-gram bag models — here the module's add-k bigram model,
+    trained once on ``target_df`` (the clean reference corpus: the
+    distribution you WANT more of) and once on ``df`` itself (the raw
+    pool).  Docs that look more like the target than like the pool get
+    positive ``logw``; resampling proportional to exp(logw)
+    (``sampling.dsir_sample``) shifts the pool toward the target
+    distribution, the DSIR recipe.
+
+    With xent = -avg ln p per bigram, the total log-ratio is
+    logw = (xent_raw - xent_target) * n_bigrams — computed from the
+    UNROUNDED cross-entropies, then rounded.
+
+    Scale shape: exactly two ``bigram_lm_scores`` passes (each: one
+    corpus scan into a vocab-bounded count table + two equi-joins on
+    hashed 8-byte token keys) and one equi-join of the two per-doc
+    score tables on ``id_col``.  Nothing new shuffles; the model
+    tables broadcast when they fit.
+
+    Returns (id_col, n_bigrams, xent_raw, xent_target, logw), all
+    rounded to 6.  Docs with fewer than two tokens produce no row
+    (they have no bigrams to weigh)."""
+    s_t = bigram_lm_scores(
+        df, text_col, id_col, model_df=target_df, add_k=add_k, round_to=None
+    ).withColumnRenamed("xent", "__xt__")
+    s_r = bigram_lm_scores(
+        df, text_col, id_col, model_df=None, add_k=add_k, round_to=None
+    ).withColumnRenamed("xent", "__xr__")
+    j = s_r.join(s_t.drop("n_bigrams"), id_col)
+    return j.select(
+        id_col,
+        "n_bigrams",
+        F.round("__xr__", 6).alias("xent_raw"),
+        F.round("__xt__", 6).alias("xent_target"),
+        F.round(
+            (F.col("__xr__") - F.col("__xt__")) * F.col("n_bigrams"), 6
+        ).alias("logw"),
     )
 
 

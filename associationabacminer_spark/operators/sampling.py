@@ -257,3 +257,40 @@ def token_budget_mix(
         .filter(F.col("__cum__") <= b)
         .drop("__cum__")
     )
+
+
+def dsir_sample(
+    df: DataFrame,
+    id_col: str,
+    logw_col,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Importance resampling WITHOUT replacement via derandomized
+    Gumbel top-k (the selection step of DSIR, Xie et al. 2023; the
+    Gumbel-top-k <-> sampling-without-replacement equivalence is
+    Vieira 2014 / Kool et al. 2019): each row gets an independent
+    Gumbel(0,1) perturbation g = -ln(-ln u) and the k largest
+    ``logw + g`` are EXACTLY a draw of k distinct rows proportional to
+    softmax(logw) — no normalizing constant ever computed, so it
+    distributes trivially.  The RNG is replaced by this module's
+    md5-of-id uniform: same input, same k rows, any partitioning, and
+    mergeable (top-k of keys) so it composes with resume; vary ``salt``
+    to draw a fresh independent sample.
+
+    ``logw_col`` is the log importance weight (``lm.dsir_logratio``'s
+    ``logw``).  Selection compiles to TakeOrderedAndProject (per-task
+    top-k + driver merge), never a global sort.  Returns the sampled
+    rows + a rounded ``gumbel_key`` column."""
+    lw = F.col(logw_col) if isinstance(logw_col, str) else logw_col
+    u = (
+        F.conv(F.substring(_hash_key(id_col, salt), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = lw.cast("double") - F.log(-F.log(u))
+    return (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col).cast("string"))
+        .limit(k)
+        .withColumn("gumbel_key", F.round("gumbel_key", 6))
+    )

@@ -3456,6 +3456,147 @@ def q9f(spark, sf_dir):
     return gopher_repetition(d, "text", "doc_id").orderBy("doc_id")
 
 
+_Q9G_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         [x for x in range(0, CAST(floor((len(t) - 1) / 12.0) AS BIGINT) + 1)] AS ii
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[CAST(i * 12 + 1 AS BIGINT):CAST(i * 12 + 12 AS BIGINT)], ' ') AS par
+  FROM idx, unnest(ii) r(i)
+),
+nz AS (SELECT doc_id, pos, par FROM chunks WHERE trim(par) <> ''),
+freq AS (SELECT par, COUNT(*) AS n_occ FROM nz GROUP BY par),
+j AS (SELECT nz.doc_id, nz.pos, nz.par, f.n_occ
+      FROM nz JOIN freq f USING (par)),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_paras,
+         SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_scrubbed,
+         string_agg(CASE WHEN n_occ < 2 THEN par END, chr(10) ORDER BY pos) AS text
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(a.n_scrubbed, 0) AS BIGINT) AS n_scrubbed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("q9g_paragraph_scrub", _Q9G_SQL)
+def q9g(spark, sf_dir):
+    """Corpus-wide duplicate-paragraph scrub (operators/dedup.
+    scrub_common_paragraphs — the CCNet/RefinedWeb boilerplate-removal
+    step): every paragraph whose verbatim corpus occurrence count >= 2
+    is dropped from every doc, and the text rebuilt in original order.
+    The synthetic docs have no newlines, so — the q45/q57
+    engine-identical-augmentation pattern — BOTH engines first chunk
+    each doc into 12-token lines (the Spark side builds the chunks as a
+    chained projection, keeping the token array a bound attribute: the
+    documented transform-inlining trap).  The Spark side shuffles only
+    xxhash64 paragraph keys; the oracle groups the actual paragraph
+    strings — parity certifies the hashing collision-free on the
+    corpus."""
+    tokd = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks__")
+    )
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.size("__toks__") - 1) / 12.0),
+        ),
+        lambda i: F.array_join(F.slice(F.col("__toks__"), i * 12 + 1, 12), " "),
+    )
+    pdoc = tokd.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    return dedup.scrub_common_paragraphs(
+        pdoc, "text", "doc_id", min_df=2
+    ).orderBy("doc_id")
+
+
+_Q9H_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+wl AS (
+  SELECT doc_id, lang,
+         [{'p': t[i-1], 'w': t[i]} for i in range(2, len(t) + 1)] AS ps
+  FROM toks WHERE len(t) >= 2
+),
+bp AS (SELECT doc_id, lang, x.p AS p, x.w AS w
+       FROM (SELECT doc_id, lang, unnest(ps) AS x FROM wl)),
+cbr AS (SELECT p, w, COUNT(*) AS cb FROM bp GROUP BY p, w),
+cur AS (SELECT p, COUNT(*) AS cu FROM bp GROUP BY p),
+vr AS (SELECT COUNT(DISTINCT h) AS v
+       FROM (SELECT p AS h FROM bp UNION ALL SELECT w AS h FROM bp)),
+bt AS (SELECT p, w FROM bp WHERE lang = 'en'),
+cbt AS (SELECT p, w, COUNT(*) AS cb FROM bt GROUP BY p, w),
+cut AS (SELECT p, COUNT(*) AS cu FROM bt GROUP BY p),
+vt AS (SELECT COUNT(DISTINCT h) AS v
+       FROM (SELECT p AS h FROM bt UNION ALL SELECT w AS h FROM bt)),
+sc AS (
+  SELECT bp.doc_id,
+         -ln((COALESCE(cbr.cb, 0) + 0.5) / (COALESCE(cur.cu, 0) + 0.5 * vr.v)) AS nll_r,
+         -ln((COALESCE(cbt.cb, 0) + 0.5) / (COALESCE(cut.cu, 0) + 0.5 * vt.v)) AS nll_t
+  FROM bp
+  LEFT JOIN cbr USING (p, w) LEFT JOIN cur USING (p)
+  LEFT JOIN cbt USING (p, w) LEFT JOIN cut USING (p)
+  CROSS JOIN vr CROSS JOIN vt
+),
+ag AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         AVG(nll_r) AS xr, AVG(nll_t) AS xt
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(xr, 6) AS xent_raw,
+       ROUND(xt, 6) AS xent_target,
+       ROUND((xr - xt) * n_bigrams, 6) AS logw
+FROM ag ORDER BY doc_id
+"""
+
+
+@query("q9h_dsir_weights", _Q9H_SQL)
+def q9h(spark, sf_dir):
+    """DSIR importance weights (operators/lm.dsir_logratio, Xie et al.
+    2023): log p_target(x) - log p_raw(x) for every doc under two add-k
+    bigram models — target trained on the English subcorpus (the
+    clean-reference fiction), raw on the full pool.  Two
+    bigram_lm_scores passes + one id equi-join; the Spark side shuffles
+    hashed 8-byte token keys, the oracle uses the token strings (the
+    q9e collision-free certificate, now with out-of-vocabulary bigrams
+    exercising the LEFT-join zero-count path)."""
+    from associationabacminer_spark.operators.lm import dsir_logratio
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_logratio(
+        d, "text", "doc_id", d.filter(F.col("lang") == "en")
+    ).orderBy("doc_id")
+
+
+@query("s50_dsir_sample")
+def s50(spark, sf_dir):
+    """DSIR selection step (rows-only): derandomized Gumbel top-k draw
+    of 50 docs proportional to softmax(logw) from q9h's weights —
+    sampling WITHOUT replacement toward the target distribution with no
+    RNG and no normalizing constant (sampling.dsir_sample; exactness of
+    the Gumbel-top-k equivalence + determinism are pytest-verified in
+    TestDsir)."""
+    from associationabacminer_spark.operators.lm import dsir_logratio
+    from associationabacminer_spark.operators.sampling import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    scored = dsir_logratio(d, "text", "doc_id", d.filter(F.col("lang") == "en"))
+    return dsir_sample(scored, "doc_id", "logw", 50)
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

@@ -65,6 +65,11 @@ HEADLINE = [
     "q9e_bigram_xent",
     # round 5: Gopher repetition rules (zero-shuffle map-side screen)
     "q9f_gopher_repetition",
+    # round 5: CCNet/RefinedWeb duplicate-paragraph scrub (hashed
+    # paragraph keys, two bounded-key shuffles)
+    "q9g_paragraph_scrub",
+    # round 5: DSIR importance weights (two bigram-LM passes + id join)
+    "q9h_dsir_weights",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

@@ -2924,3 +2924,174 @@ class TestSpanFuzzParity:
             for r in dedup.duplicated_spans(df, "text", "doc_id", k=K).collect()
         }
         assert got == want and len(want) > 50
+
+
+class TestParagraphScrub:
+    """Corpus-wide duplicate-paragraph scrub (CCNet/RefinedWeb
+    boilerplate removal): drop-all and keep-one policies."""
+
+    @pytest.fixture(scope="class")
+    def pdocs(self, spark):
+        rows = [
+            ("a", "boiler\nunique a1\nunique a2"),
+            ("b", "boiler\nunique b1"),
+            ("c", "unique c1\nboiler\nboiler"),  # dup within one doc too
+            ("d", ""),  # no paragraphs at all
+            ("e", "solo"),
+            ("f", "  \n x \n"),  # separator-edge empties are not paragraphs
+        ]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_drop_all(self, pdocs):
+        from associationabacminer_spark.operators.dedup import (
+            scrub_common_paragraphs,
+        )
+
+        got = {
+            r["doc_id"]: (r["text"], r["n_paras"], r["n_scrubbed"])
+            for r in scrub_common_paragraphs(pdocs, "text", "doc_id").collect()
+        }
+        assert got == {
+            "a": ("unique a1\nunique a2", 3, 1),
+            "b": ("unique b1", 2, 1),
+            "c": ("unique c1", 3, 2),
+            "d": ("", 0, 0),
+            "e": ("solo", 1, 0),
+            "f": ("x", 1, 0),
+        }
+
+    def test_keep_one_witness(self, pdocs):
+        from associationabacminer_spark.operators.dedup import (
+            scrub_common_paragraphs,
+        )
+
+        got = {
+            r["doc_id"]: (r["text"], r["n_scrubbed"])
+            for r in scrub_common_paragraphs(
+                pdocs, "text", "doc_id", keep_one=True
+            ).collect()
+        }
+        # minimal (id, pos) occurrence of 'boiler' is ("a", 0) -> survives
+        assert got["a"] == ("boiler\nunique a1\nunique a2", 0)
+        assert got["b"] == ("unique b1", 1)
+        assert got["c"] == ("unique c1", 2)
+        # exactly ONE occurrence of every hot paragraph survives
+        n_boiler = sum(t.split("\n").count("boiler") for t, _ in got.values())
+        assert n_boiler == 1
+
+    def test_min_df_and_partition_invariance(self, pdocs):
+        from associationabacminer_spark.operators.dedup import (
+            scrub_common_paragraphs,
+        )
+
+        # min_df above the max occurrence count scrubs nothing
+        none = scrub_common_paragraphs(pdocs, "text", "doc_id", min_df=5)
+        assert all(r["n_scrubbed"] == 0 for r in none.collect())
+        base = sorted(
+            map(tuple, scrub_common_paragraphs(pdocs, "text", "doc_id").collect())
+        )
+        repart = sorted(
+            map(
+                tuple,
+                scrub_common_paragraphs(
+                    pdocs.repartition(7), "text", "doc_id"
+                ).collect(),
+            )
+        )
+        assert base == repart
+
+    def test_no_python_udf(self, pdocs):
+        from associationabacminer_spark.operators.dedup import (
+            scrub_common_paragraphs,
+        )
+
+        plan = (
+            scrub_common_paragraphs(pdocs, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestDsir:
+    """DSIR importance weights + derandomized Gumbel top-k selection."""
+
+    @pytest.fixture(scope="class")
+    def pool(self, spark):
+        rows = [
+            (0, "en", "the cat sat on the mat"),
+            (1, "en", "the cat sat on the hat"),
+            (2, "xx", "zx qv zx qv zx"),
+            (3, "xx", "the cat sat on the mat"),  # target-like raw doc
+            (4, "xx", "one"),  # no bigrams -> no row
+        ]
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def test_logratio_matches_reference(self, spark, pool):
+        from associationabacminer_spark.operators.lm import dsir_logratio
+
+        tgt = pool.filter(pool.lang == "en")
+        got = {
+            r["doc_id"]: r
+            for r in dsir_logratio(pool, "text", "doc_id", tgt).collect()
+        }
+        assert 4 not in got
+        rows = [(r["doc_id"], r["text"]) for r in pool.collect()]
+        ref_t = TestBigramLmScores._ref_scores(
+            rows, [t for i, t in rows if i in (0, 1)]
+        )
+        ref_r = TestBigramLmScores._ref_scores(rows, [t for _, t in rows])
+        for k, r in got.items():
+            n, xr = ref_r[k]
+            _, xt = ref_t[k]
+            assert r["n_bigrams"] == n
+            assert abs(r["xent_raw"] - xr) <= 1e-6
+            assert abs(r["xent_target"] - xt) <= 1e-6
+            # the reference rounds each xent to 1e-6 BEFORE the product
+            # (the operator multiplies unrounded), so the comparison
+            # tolerance scales with n
+            assert abs(r["logw"] - round((xr - xt) * n, 6)) <= 1e-6 * (n + 1)
+        # the target-like raw doc weighs toward the target; the
+        # gibberish doc away from it
+        assert got[3]["logw"] > got[2]["logw"]
+
+    def test_gumbel_key_formula_and_determinism(self, spark, pool):
+        import hashlib
+        import math
+
+        from associationabacminer_spark.operators.lm import dsir_logratio
+        from associationabacminer_spark.operators.sampling import dsir_sample
+
+        tgt = pool.filter(pool.lang == "en")
+        scored = dsir_logratio(pool, "text", "doc_id", tgt)
+        got = {
+            r["doc_id"]: r["gumbel_key"]
+            for r in dsir_sample(scored, "doc_id", "logw", 10).collect()
+        }
+        exact = {r["doc_id"]: r["logw"] for r in scored.collect()}
+        for i, k in got.items():
+            u = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5
+            ) / float(1 << 32)
+            expect = exact[i] - math.log(-math.log(u))
+            assert abs(k - round(expect, 6)) <= 2e-6
+        # deterministic across partitionings
+        a = sorted(map(tuple, dsir_sample(scored, "doc_id", "logw", 2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                dsir_sample(scored.repartition(5), "doc_id", "logw", 2).collect(),
+            )
+        )
+        assert a == b
+
+    def test_dominant_weight_always_selected(self, spark):
+        from associationabacminer_spark.operators.sampling import dsir_sample
+
+        rows = [(i, 0.0) for i in range(20)] + [(99, 50.0)]
+        df = spark.createDataFrame(rows, "doc_id long, logw double")
+        for salt in ("", "s1", "s2"):
+            top = dsir_sample(df, "doc_id", "logw", 1, salt=salt).collect()
+            assert [r["doc_id"] for r in top] == [99]
