@@ -79,18 +79,37 @@ def bigram_lm_scores(
     ``dsir_logratio``) — the filter use is
     ``scores.filter(col("xent") < hi)`` or a quantiles_by_group band."""
     model = model_df if model_df is not None else df
+    bigram, context, v = _train_bigram_model(model, text_col, "")
+    dp = _bigram_rows(df, text_col, id_col)
+    scored = (
+        dp.join(bigram, ["hp", "hw"], "left")
+        .join(context, ["hp"], "left")
+        .withColumn("__nll__", _nll("cb", "cu", add_k, v))
+    )
+    xent = F.avg("__nll__")
+    if round_to is not None:
+        xent = F.round(xent, round_to)
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        xent.alias("xent"),
+    )
+
+
+def _train_bigram_model(model: DataFrame, text_col: str, suffix: str):
+    """(bigram_counts, context_counts, vocab_size) for an add-k bigram
+    model — ONE corpus pass: context counts and the vocabulary both
+    derive from the bigram count table (cu(p) = sum_w cb(p, w); every
+    token of a >= 2-token doc appears in some bigram, so vocab =
+    distinct hp ∪ hw of the TABLE) instead of re-scanning the corpus.
+    The vocab-bounded table is persisted: the v scalar job materializes
+    it once and the scoring joins read the cache.  Count columns are
+    suffixed so two models can join into one scoring pass
+    (``dsir_logratio``)."""
     mp = _bigram_rows(model, text_col, id_col=None)
-    # ONE corpus pass: the bigram count table.  Context counts and the
-    # vocabulary both derive from it (cu(p) = sum_w cb(p, w); every
-    # token of a >= 2-token doc appears in some bigram, so
-    # vocab = distinct hp ∪ hw of the TABLE) — aggregating the
-    # vocab-bounded counts table instead of re-scanning the corpus cuts
-    # the model side from three corpus scans to one.
-    # persisted: the vocab-bounded trained model — the v scalar job below
-    # materializes it once, and the scoring joins then read the cache
-    # instead of re-deriving the counts from the corpus
-    bigram = mp.groupBy("hp", "hw").agg(F.count("*").alias("cb")).persist()
-    context = bigram.groupBy("hp").agg(F.sum("cb").alias("cu"))
+    bigram = (
+        mp.groupBy("hp", "hw").agg(F.count("*").alias(f"cb{suffix}")).persist()
+    )
+    context = bigram.groupBy("hp").agg(F.sum(f"cb{suffix}").alias(f"cu{suffix}"))
     v = (
         bigram.select(F.col("hp").alias("h"))
         .unionAll(bigram.select(F.col("hw").alias("h")))
@@ -103,24 +122,15 @@ def bigram_lm_scores(
             "model corpus has no bigrams (no doc with >= 2 tokens) — "
             "cannot train a bigram model"
         )
-    dp = _bigram_rows(df, text_col, id_col)
-    scored = (
-        dp.join(bigram, ["hp", "hw"], "left")
-        .join(context, ["hp"], "left")
-        .withColumn(
-            "__nll__",
-            -F.log(
-                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(float(add_k)))
-                / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(float(add_k) * v))
-            ),
-        )
-    )
-    xent = F.avg("__nll__")
-    if round_to is not None:
-        xent = F.round(xent, round_to)
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        xent.alias("xent"),
+    return bigram, context, v
+
+
+def _nll(cb: str, cu: str, add_k: float, v: int):
+    """-ln P(w|p) column under add-k smoothing, with the LEFT-join
+    zero-count (out-of-vocabulary) path coalesced."""
+    return -F.log(
+        (F.coalesce(F.col(cb), F.lit(0)) + F.lit(float(add_k)))
+        / (F.coalesce(F.col(cu), F.lit(0)) + F.lit(float(add_k) * v))
     )
 
 
@@ -130,6 +140,7 @@ def dsir_logratio(
     id_col: str,
     target_df: DataFrame,
     add_k: float = 0.5,
+    raw_model_df: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw doc by
@@ -146,23 +157,42 @@ def dsir_logratio(
     logw = (xent_raw - xent_target) * n_bigrams — computed from the
     UNROUNDED cross-entropies, then rounded.
 
-    Scale shape: exactly two ``bigram_lm_scores`` passes (each: one
-    corpus scan into a vocab-bounded count table + two equi-joins on
-    hashed 8-byte token keys) and one equi-join of the two per-doc
-    score tables on ``id_col``.  Nothing new shuffles; the model
-    tables broadcast when they fit.
+    Scale shape: ONE scoring pass — the doc-side bigram stream is
+    tokenized and exploded once, left-joins BOTH vocab-bounded count
+    tables (four equi-joins on hashed 8-byte token keys; the tables
+    broadcast when they fit), and one per-doc aggregate computes both
+    cross-entropies together.  Half the corpus scans and shuffles of
+    the naive score-twice-then-join composition, and — because the
+    per-doc join disappears — streamable.
 
     Returns (id_col, n_bigrams, xent_raw, xent_target, logw), all
     rounded to 6.  Docs with fewer than two tokens produce no row
-    (they have no bigrams to weigh)."""
-    s_t = bigram_lm_scores(
-        df, text_col, id_col, model_df=target_df, add_k=add_k, round_to=None
-    ).withColumnRenamed("xent", "__xt__")
-    s_r = bigram_lm_scores(
-        df, text_col, id_col, model_df=None, add_k=add_k, round_to=None
-    ).withColumnRenamed("xent", "__xr__")
-    j = s_r.join(s_t.drop("n_bigrams"), id_col)
-    return j.select(
+    (they have no bigrams to weigh).
+
+    ``raw_model_df`` freezes the raw-pool model on a separate (batch)
+    corpus instead of ``df`` itself — required when ``df`` is a STREAM
+    (both models must be static; scoring is then four stream-static
+    joins + one streaming aggregate — parity with the batch run tested
+    in TestStreamingQualityScreens)."""
+    bt, ct, vt = _train_bigram_model(target_df, text_col, "_t")
+    br, cr, vr = _train_bigram_model(
+        raw_model_df if raw_model_df is not None else df, text_col, "_r"
+    )
+    dp = _bigram_rows(df, text_col, id_col)
+    scored = (
+        dp.join(br, ["hp", "hw"], "left")
+        .join(cr, ["hp"], "left")
+        .join(bt, ["hp", "hw"], "left")
+        .join(ct, ["hp"], "left")
+        .withColumn("__nll_r__", _nll("cb_r", "cu_r", add_k, vr))
+        .withColumn("__nll_t__", _nll("cb_t", "cu_t", add_k, vt))
+    )
+    ag = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("__nll_r__").alias("__xr__"),
+        F.avg("__nll_t__").alias("__xt__"),
+    )
+    return ag.select(
         id_col,
         "n_bigrams",
         F.round("__xr__", 6).alias("xent_raw"),

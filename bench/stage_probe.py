@@ -41,6 +41,7 @@ STAGES = (
     "prep_uniq", "exact_ladder", "exact_plain",
     "signatures", "banding", "full", "decontaminate",
     "decontaminate_nobloom", "spans", "lm", "mix",
+    "paragraphs", "dsir",
 )
 
 
@@ -56,6 +57,23 @@ def control() -> float:
         a /= np.abs(a).max() + 1.0
         n += 1
     return round(n / (time.perf_counter() - t0), 1)
+
+
+def _consuming_count(df, cols):
+    """A count action that cannot be gutted by the optimizer: sums the
+    payload ``cols`` alongside the row count, so column pruning can't
+    drop the aggregate expressions and left-join elimination can't
+    remove the unique-key model joins feeding them."""
+    from pyspark.sql import functions as F
+
+    def run():
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            *[F.sum(F.abs(F.col(c))).alias(f"__s_{c}__") for c in cols],
+        ).first()
+        return row["__n__"]
+
+    return run
 
 
 def load_docs(spark, path: str):
@@ -161,10 +179,17 @@ def main() -> None:
         # k=8 whitespace tokens ~ the corpus' short-doc regime
         action = dedup.duplicated_spans(docs, "text", "doc_id", k=8).count
     elif args.stage == "lm":
-        # CCNet-style bigram cross-entropy, self-trained model
+        # CCNet-style bigram cross-entropy, self-trained model.
+        # NOT .count(): on an aggregate output Catalyst prunes the avg
+        # columns under count() and then ELIMINATES the unique-key left
+        # joins outright — a bare count measures a plan with no model
+        # joins at all (verified via optimizedPlan; the pre-fix lm
+        # readings in BENCH/BASELINE.md are annotated as undercounts).
         from associationabacminer_spark.operators.lm import bigram_lm_scores
 
-        action = bigram_lm_scores(docs, "text", "doc_id").count
+        action = _consuming_count(
+            bigram_lm_scores(docs, "text", "doc_id"), ["xent"]
+        )
     elif args.stage == "mix":
         # token-budget mixture over a derived 16-way source split;
         # budget ~38% of the corpus tokens so the boundary cut engages
@@ -183,6 +208,41 @@ def main() -> None:
             tagged, "source", "doc_id", "n_tok", int(n_input * 5),
             weights=weights, pre_buckets=64,
         ).count
+    elif args.stage == "paragraphs":
+        # CCNet paragraph-hash boilerplate scrub over 12-token-chunked
+        # text (the q9g chunking — transcript turns have no newlines);
+        # chunking is a chained projection so the token array stays a
+        # bound attribute (the transform-inlining trap)
+        from pyspark.sql import functions as F
+
+        tokd = docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks__")
+        )
+        chunks = F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.floor((F.size("__toks__") - 1) / 12.0)
+            ),
+            lambda i: F.array_join(
+                F.slice(F.col("__toks__"), i * 12 + 1, 12), " "
+            ),
+        )
+        pdoc = tokd.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+        out = dedup.scrub_common_paragraphs(pdoc, "text", "doc_id", min_df=2)
+        # force the rebuilt text + scrub counters (see the lm stage note)
+        action = _consuming_count(
+            out.select(F.length("text").alias("tl"), "n_scrubbed"),
+            ["tl", "n_scrubbed"],
+        )
+    elif args.stage == "dsir":
+        # DSIR importance weights: target = the deterministic 20% slice
+        # hash(doc_id) % 5 == 0 (two bigram-LM passes + one id join)
+        from associationabacminer_spark.operators.lm import dsir_logratio
+        from pyspark.sql import functions as F
+
+        target = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
+        action = _consuming_count(
+            dsir_logratio(docs, "text", "doc_id", target), ["logw"]
+        )
     elif args.stage in ("decontaminate", "decontaminate_nobloom"):
         # ladder composition: heldout = doc_id % 7 == 0 of the cleaned
         # pool (at the 59M rung clean == uniq, measured round 4);

@@ -2791,6 +2791,40 @@ class TestStreamingQualityScreens:
         assert got_lm == want_lm and len(got_lm) > 0
         assert got_rep == want_rep
 
+    def test_streaming_dsir_matches_batch(self, spark, tmp_path):
+        # DSIR with BOTH models frozen on batch snapshots: scoring is
+        # four stream-static joins + one streaming aggregate (the
+        # single-pass dsir_logratio shape -- a score-twice-then-join
+        # composition would be an unsupported join of two streaming
+        # aggregates)
+        from associationabacminer_spark.operators.lm import dsir_logratio
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.filter(docs.doc_id % 2 == 0)
+        src = str(tmp_path / "dsir-src")
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            dsir_logratio(stream, "text", "doc_id", target, raw_model_df=docs)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("dsirout")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["doc_id"]: (r["n_bigrams"], r["xent_raw"], r["logw"])
+                for r in spark.sql("select * from dsirout").collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            r["doc_id"]: (r["n_bigrams"], r["xent_raw"], r["logw"])
+            for r in dsir_logratio(docs, "text", "doc_id", target).collect()
+        }
+        assert got == want and len(got) > 0
+
     def test_empty_model_raises(self, spark):
         from associationabacminer_spark.operators.lm import bigram_lm_scores
 
