@@ -871,17 +871,21 @@ def scrub_common_paragraphs(
       witness per distinct paragraph — all-but-one dedup), via one extra
       struct-min on the same aggregate, no pair join.
 
-    Scale shape (two shuffles, both on bounded keys): (1) paragraph
-    rows explode map-side and hash-aggregate on the 8-byte ``xxhash64``
-    key — uniform, no skew; only hashes with n_occ >= min_df survive the
+    Scale shape (two shuffles, both slim): (1) paragraph rows explode
+    map-side and hash-aggregate on the 8-byte ``xxhash64`` key —
+    uniform, no skew; only hashes with n_occ >= min_df survive the
     HAVING, so the join table is the (small) boilerplate set, broadcast
-    by AQE when it fits.  (2) the per-doc rebuild groupBy.  Paragraph
-    STRINGS never enter a shuffle; a 2^-64-per-pair hash collision can
-    at worst scrub an innocent paragraph — the documented trade shared
-    with every hashed-key path in this module.
+    by AQE when it fits.  (2) per-doc SCRUB POSITIONS — only the
+    scrubbed occurrences (usually a small fraction of the corpus)
+    enter the rebuild shuffle, as (id, int) pairs; the surviving text
+    is then rebuilt MAP-SIDE from the original column with a two-arg
+    ``F.filter`` over the re-split array.  Paragraph strings never
+    enter any shuffle; a 2^-64-per-pair hash collision can at worst
+    scrub an innocent paragraph — the documented trade shared with
+    every hashed-key path in this module.
 
-    Returns one row per input doc: (id_col, text_col = rebuilt text
-    with ``rebuild_sep`` between surviving paragraphs, n_paras,
+    Returns one row per input doc: (id_col, text_col = rebuilt text of
+    trimmed surviving paragraphs joined by ``rebuild_sep``, n_paras,
     n_scrubbed).  Docs whose every paragraph is scrubbed (or that had
     none) come back with '' — filter on ``text_col != ''`` to drop
     them, keep them to preserve row alignment."""
@@ -896,37 +900,43 @@ def scrub_common_paragraphs(
         .filter(F.col("n_occ") >= min_df)
         .select("hpar", "__wit__")
     )
-    j = paras.join(hot, "hpar", "left")
-    keep = F.col("__wit__").isNull()
+    j = paras.join(hot, "hpar")  # inner: only boilerplate occurrences
+    scrub = F.lit(True)
     if keep_one:
-        keep = keep | (
+        scrub = ~(
             (F.col("__wit__.i") == sid) & (F.col("__wit__.p") == F.col("pos"))
         )
-    tagged = j.select(
-        id_col,
-        "pos",
-        "par",
-        keep.alias("__keep__"),
+    drops = (
+        j.filter(scrub)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__drop__"))
     )
-    agg = tagged.groupBy(id_col).agg(
-        F.count("*").alias("n_paras"),
-        F.sum(F.when(F.col("__keep__"), 0).otherwise(1)).alias("n_scrubbed"),
+    out = df.join(drops, id_col, "left")
+    # chained projection: bind the split array and the drop list as
+    # attributes so they evaluate once per row (the transform-inlining
+    # trap minhash_signatures_oph documents)
+    bound = out.select(
+        id_col,
+        F.split(F.col(text_col), sep).alias("__split__"),
+        F.coalesce(F.col("__drop__"), F.array().cast("array<int>")).alias(
+            "__dropped__"
+        ),
+    )
+    kept = F.filter(
+        F.col("__split__"),
+        lambda x, i: (F.trim(x) != "") & ~F.array_contains(F.col("__dropped__"), i),
+    )
+    n_paras = F.size(
+        F.filter(F.col("__split__"), lambda x: F.trim(x) != "")
+    )
+    return bound.select(
+        id_col,
+        # NB: an explicit ONE-arg lambda — F.trim itself has signature
+        # (col, trim=None), so pyspark would pass (element, index) into
+        # it (the two-parameter transform-lambda trap, third sighting)
         F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("__keep__"), F.struct("pos", "par"))
-                    )
-                ),
-                lambda x: x["par"],
-            ),
-            rebuild_sep,
-        ).alias("__text__"),
-    )
-    out = df.select(id_col).join(agg, id_col, "left")
-    return out.select(
-        id_col,
-        F.coalesce("__text__", F.lit("")).alias(text_col),
-        F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
-        F.coalesce("n_scrubbed", F.lit(0)).cast("long").alias("n_scrubbed"),
+            F.transform(kept, lambda x: F.trim(x)), rebuild_sep
+        ).alias(text_col),
+        n_paras.cast("long").alias("n_paras"),
+        F.size("__dropped__").cast("long").alias("n_scrubbed"),
     )
