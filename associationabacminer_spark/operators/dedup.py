@@ -912,11 +912,12 @@ def scrub_common_paragraphs(
         .agg(F.collect_list("pos").alias("__drop__"))
     )
     out = df.join(drops, id_col, "left")
+    passthrough = [c for c in df.columns if c != text_col]
     # chained projection: bind the split array and the drop list as
     # attributes so they evaluate once per row (the transform-inlining
     # trap minhash_signatures_oph documents)
     bound = out.select(
-        id_col,
+        *passthrough,
         F.split(F.col(text_col), sep).alias("__split__"),
         F.coalesce(F.col("__drop__"), F.array().cast("array<int>")).alias(
             "__dropped__"
@@ -929,14 +930,15 @@ def scrub_common_paragraphs(
     n_paras = F.size(
         F.filter(F.col("__split__"), lambda x: F.trim(x) != "")
     )
+    # NB: an explicit ONE-arg lambda below — F.trim itself has signature
+    # (col, trim=None), so pyspark would pass (element, index) into it
+    # (the two-parameter transform-lambda trap, third sighting)
+    rebuilt = F.array_join(
+        F.transform(kept, lambda x: F.trim(x)), rebuild_sep
+    ).alias(text_col)
+    cols = [rebuilt if c == text_col else F.col(c) for c in df.columns]
     return bound.select(
-        id_col,
-        # NB: an explicit ONE-arg lambda — F.trim itself has signature
-        # (col, trim=None), so pyspark would pass (element, index) into
-        # it (the two-parameter transform-lambda trap, third sighting)
-        F.array_join(
-            F.transform(kept, lambda x: F.trim(x)), rebuild_sep
-        ).alias(text_col),
+        *cols,
         n_paras.cast("long").alias("n_paras"),
         F.size("__dropped__").cast("long").alias("n_scrubbed"),
     )

@@ -74,6 +74,38 @@ class TestCurationPipeline:
         )
         assert dup_window_hits(scrubbed) < hits_before
 
+        # 1c. paragraph-level boilerplate scrub (CCNet/RefinedWeb) over
+        # 12-token-chunked text — chunking only changes whitespace,
+        # which every downstream tokenizer (split on \s+) normalizes.
+        # keep_one: every duplicated paragraph keeps exactly one witness,
+        # so the rebuilt corpus has NO paragraph with n_occ >= 2.
+        keep = [c for c in scrubbed.columns if c != "text"]
+        tokd = scrubbed.select(
+            *keep, F.split(F.trim(F.col("text")), r"\s+").alias("__toks__")
+        )
+        chunks = F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.floor((F.size("__toks__") - 1) / 12.0)
+            ),
+            lambda i: F.array_join(F.slice(F.col("__toks__"), i * 12 + 1, 12), " "),
+        )
+        chunked = tokd.select(
+            *keep, F.array_join(chunks, "\n").alias("text")
+        )
+        para = (
+            dedup.scrub_common_paragraphs(chunked, "text", "doc_id", keep_one=True)
+            .filter(F.trim(F.col("text")) != "")
+            .drop("n_paras", "n_scrubbed")
+            .localCheckpoint()
+        )
+        assert (
+            dedup.paragraph_frequencies(para, "text", "doc_id")
+            .filter(F.col("n_occ") >= 2)
+            .count()
+            == 0
+        )
+        scrubbed = para
+
         # 2. near-dup closure: MinHash-LSH pairs -> components -> keep roots
         pairs = dedup.minhash_lsh_dedup(
             scrubbed, "text", "doc_id", num_perm=32, bands=16, n=3, threshold=0.6
@@ -111,6 +143,32 @@ class TestCurationPipeline:
             "left_semi",
         )
         assert clean.count() > 0
+
+        # 3b. DSIR: importance weights toward the corpus' English slice,
+        # then a Gumbel top-k resample — the target-shifting draw (the
+        # uniform quota in stage 5 is the coverage draw)
+        from associationabacminer_spark.operators.lm import dsir_logratio
+        from associationabacminer_spark.operators.sampling import dsir_sample
+
+        w = dsir_logratio(
+            clean, "text", "doc_id", clean.filter(F.col("lang") == "en")
+        )
+        assert w.filter(F.col("logw").isNull()).count() == 0
+        # weights point toward the target: English docs weigh higher on
+        # average than non-English (deterministic corpus, stable check)
+        means = dict(
+            w.join(clean.select("doc_id", "lang"), "doc_id")
+            .withColumn("is_en", (F.col("lang") == "en").cast("int"))
+            .groupBy("is_en")
+            .agg(F.avg("logw").alias("m"))
+            .rdd.map(tuple)
+            .collect()
+        )
+        assert means[1] > means[0]
+        picked = dsir_sample(
+            clean.join(w.select("doc_id", "logw"), "doc_id"), "doc_id", "logw", 200
+        )
+        assert picked.count() == min(200, w.count())
 
         # 4. decontaminate vs a held-out slice of itself (guaranteed hits)
         test_set = clean.filter(F.col("doc_id") % 7 == 0)
