@@ -918,7 +918,9 @@ def scrub_common_paragraphs(
     # trap minhash_signatures_oph documents)
     bound = out.select(
         *passthrough,
-        F.split(F.col(text_col), sep).alias("__split__"),
+        # coalesce: a NULL text would propagate through split ->
+        # size(null) = -1 in the counters; treat it as an empty doc
+        F.split(F.coalesce(F.col(text_col), F.lit("")), sep).alias("__split__"),
         F.coalesce(F.col("__drop__"), F.array().cast("array<int>")).alias(
             "__dropped__"
         ),

@@ -3034,6 +3034,21 @@ class TestParagraphScrub:
         )
         assert base == repart
 
+    def test_null_text_treated_as_empty(self, spark):
+        from associationabacminer_spark.operators.dedup import (
+            scrub_common_paragraphs,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None), ("b", "dup\ndup")], "doc_id string, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_paras"], r["n_scrubbed"])
+            for r in scrub_common_paragraphs(df, "text", "doc_id").collect()
+        }
+        assert got["a"] == ("", 0, 0)  # not (None, -1, ...)
+        assert got["b"] == ("", 2, 2)  # within-doc dup counts toward min_df
+
     def test_no_python_udf(self, pdocs):
         from associationabacminer_spark.operators.dedup import (
             scrub_common_paragraphs,
