@@ -154,3 +154,69 @@ def decontaminate_train(
     return decontaminate(
         eval_set, train, text_col, id_col, n, max_shingle_df, bloom_fpp
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise n-gram overlap between sources — the corpus-intake
+    diagnostic run before mixing: which feeds share boilerplate or
+    mirror each other's content (a high-overlap pair is a dedup /
+    provenance problem; a near-zero pair is safe to weight
+    independently).  The same public overlap rule as ``decontaminate``
+    (Brown et al. 2020 App. C), lifted from doc-level flags to a
+    source x source summary.
+
+    Plan shape: one corpus scan explodes to hashed shingles, ONE
+    distinct to (source, sh) — after which every row count is bounded
+    by |sources| x |distinct shingles| — then a self-equi-join on the
+    8-byte hash with ``src_a < src_b`` and two hash aggregates.  The
+    join key's per-side frequency is bounded by |sources| (each side
+    is distinct), so the worst-case fan-out per shingle is |sources|^2
+    rows REGARDLESS of how many documents repeat it: scale-safe by
+    construction, no document-frequency cap needed.
+
+    Returns (src_a, src_b, n_shared, jaccard) per unordered source
+    pair with at least one shared shingle: n_shared = distinct shared
+    shingles, jaccard = n_shared / |union of the pair's shingles|,
+    rounded to 6."""
+    # shingles carry the source directly (no doc-key join — the doc id
+    # is irrelevant to the matrix, so it never enters a shuffle)
+    per_src = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("sh"),
+    ).distinct()
+    totals = per_src.groupBy("src").agg(F.count("*").alias("n_sh"))
+    a = per_src.select(F.col("src").alias("src_a"), "sh")
+    b = per_src.select(F.col("src").alias("src_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n_sh").alias("__na__"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n_sh").alias("__nb__"))
+    return (
+        shared.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__na__") + F.col("__nb__") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

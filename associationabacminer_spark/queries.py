@@ -3581,6 +3581,52 @@ def q9h(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_Q9I_SQL = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(t, i, i + 4), ' ') AS g
+  FROM toks, unnest([x for x in range(1, greatest(len(t) - 4, 1) + 1)]) r(i)
+),
+tot AS (SELECT source, COUNT(*) AS n_sh FROM grams GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(n_shared / CAST(ta.n_sh + tb.n_sh - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM shared
+JOIN tot ta ON ta.source = src_a
+JOIN tot tb ON tb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+@query("q9i_source_overlap", _Q9I_SQL)
+def q9i(spark, sf_dir):
+    """Cross-source n-gram overlap matrix (operators/decontaminate.
+    source_overlap_matrix): distinct shared 5-gram count + Jaccard per
+    source pair — the corpus-intake diagnostic for mirrored feeds and
+    shared boilerplate.  The Spark side self-joins (source, xxhash64
+    shingle) distinct rows (per-key fan-out bounded by |sources|^2 by
+    construction); the oracle joins the actual n-gram strings — parity
+    certifies the hashing collision-free."""
+    from associationabacminer_spark.operators.decontaminate import (
+        source_overlap_matrix,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap_matrix(d, "text", "source", n=5).orderBy(
+        "src_a", "src_b"
+    )
+
+
 @query("s50_dsir_sample")
 def s50(spark, sf_dir):
     """DSIR selection step (rows-only): derandomized Gumbel top-k draw

@@ -3144,3 +3144,43 @@ class TestDsir:
         for salt in ("", "s1", "s2"):
             top = dsir_sample(df, "doc_id", "logw", 1, salt=salt).collect()
             assert [r["doc_id"] for r in top] == [99]
+
+
+class TestSourceOverlapMatrix:
+    """Cross-source n-gram overlap diagnostic."""
+
+    def test_hand_computed_pair(self, spark):
+        from associationabacminer_spark.operators.decontaminate import (
+            source_overlap_matrix,
+        )
+
+        rows = [
+            (0, "A", "a b c d e f"),       # shingles: abcde, bcdef
+            (1, "B", "a b c d e x"),       # shingles: abcde, bcdex
+            (2, "C", "q r s t u"),         # shingle:  qrstu
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            (r["src_a"], r["src_b"]): (r["n_shared"], r["jaccard"])
+            for r in source_overlap_matrix(df, "text", "source", n=5).collect()
+        }
+        # A∩B = {abcde}; |A∪B| = 3 -> jaccard 1/3; C shares nothing
+        assert got == {("A", "B"): (1, round(1 / 3, 6))}
+
+    def test_no_cartesian_and_no_udf(self, spark):
+        from associationabacminer_spark.operators.decontaminate import (
+            source_overlap_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "A", "a b c d e"), (1, "B", "a b c d e")],
+            "doc_id long, source string, text string",
+        )
+        plan = (
+            source_overlap_matrix(df, "text", "source")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
