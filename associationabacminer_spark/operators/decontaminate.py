@@ -170,14 +170,17 @@ def source_overlap_matrix(
     (Brown et al. 2020 App. C), lifted from doc-level flags to a
     source x source summary.
 
-    Plan shape: one corpus scan explodes to hashed shingles, ONE
-    distinct to (source, sh) — after which every row count is bounded
-    by |sources| x |distinct shingles| — then a self-equi-join on the
-    8-byte hash with ``src_a < src_b`` and two hash aggregates.  The
-    join key's per-side frequency is bounded by |sources| (each side
-    is distinct), so the worst-case fan-out per shingle is |sources|^2
-    rows REGARDLESS of how many documents repeat it: scale-safe by
-    construction, no document-frequency cap needed.
+    Plan shape (ONE real Exchange): the corpus scan explodes to hashed
+    shingles map-side and hash-aggregates ``collect_set(source)`` on
+    the uniform 8-byte key — per-key state bounded by |sources|, never
+    by document counts (the A4 multimap pattern).  Source-pair
+    combinations and per-source totals are then EMITTED MAP-SIDE from
+    that table (array lambdas over the sorted set, worst case
+    |sources|^2/2 pair rows per shingle) into two tiny aggregates whose
+    partials collapse to <= |sources|^2 rows per task.  No self-join —
+    the earlier join formulation shuffled the distinct set twice and
+    read 21.1 s at 1.2M docs vs 14.3 s for this plan (same-window
+    controls), same output.
 
     Returns (src_a, src_b, n_shared, jaccard) per unordered source
     pair with at least one shared shingle: n_shared = distinct shared
@@ -185,7 +188,7 @@ def source_overlap_matrix(
     rounded to 6."""
     # shingles carry the source directly (no doc-key join — the doc id
     # is irrelevant to the matrix, so it never enters a shuffle)
-    per_src = df.select(
+    sh_src = df.select(
         F.col(source_col).alias("src"),
         F.explode(
             F.array_distinct(
@@ -194,21 +197,47 @@ def source_overlap_matrix(
                 )
             )
         ).alias("sh"),
-    ).distinct()
-    totals = per_src.groupBy("src").agg(F.count("*").alias("n_sh"))
-    a = per_src.select(F.col("src").alias("src_a"), "sh")
-    b = per_src.select(F.col("src").alias("src_b"), "sh")
-    shared = (
-        a.join(b, "sh")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+    )
+    sets = sh_src.groupBy("sh").agg(
+        F.array_sort(F.collect_set("src")).alias("__srcs__")
+    )
+    # i is the 0-based element index (the intended two-arg transform
+    # use); the inner slice starts at 1-based position i+2 = the
+    # elements AFTER x, so every emitted pair has src_a < src_b.  The
+    # per-source totals ride along as (x, x) self-pairs, so ONE
+    # aggregate pass over the big table produces both counts.
+    pairs = F.flatten(
+        F.transform(
+            F.col("__srcs__"),
+            lambda x, i: F.concat(
+                F.array(F.struct(x.alias("src_a"), x.alias("src_b"))),
+                F.transform(
+                    F.slice(F.col("__srcs__"), i + 2, F.size("__srcs__")),
+                    lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+                ),
+            ),
+        )
+    )
+    counts = (
+        sets.select(F.explode(pairs).alias("__p__"))
+        .groupBy(
+            F.col("__p__.src_a").alias("src_a"),
+            F.col("__p__.src_b").alias("src_b"),
+        )
         .agg(F.count("*").alias("n_shared"))
+        # tiny (<= |sources|^2 rows) but referenced twice below —
+        # persist so the corpus aggregate runs once
+        .persist()
+    )
+    shared = counts.filter(F.col("src_a") != F.col("src_b"))
+    totals = counts.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("src"), F.col("n_shared").alias("n_sh")
     )
     ta = totals.select(F.col("src").alias("src_a"), F.col("n_sh").alias("__na__"))
     tb = totals.select(F.col("src").alias("src_b"), F.col("n_sh").alias("__nb__"))
     return (
-        shared.join(ta, "src_a")
-        .join(tb, "src_b")
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
         .select(
             "src_a",
             "src_b",

@@ -68,8 +68,10 @@ HEADLINE = [
     # round 5: CCNet/RefinedWeb duplicate-paragraph scrub (hashed
     # paragraph keys, two bounded-key shuffles)
     "q9g_paragraph_scrub",
-    # round 5: DSIR importance weights (two bigram-LM passes + id join)
+    # round 5: DSIR importance weights (single-pass two-model scoring)
     "q9h_dsir_weights",
+    # round 5: cross-source n-gram overlap matrix
+    "q9i_source_overlap",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

@@ -41,7 +41,7 @@ STAGES = (
     "prep_uniq", "exact_ladder", "exact_plain",
     "signatures", "banding", "full", "decontaminate",
     "decontaminate_nobloom", "spans", "lm", "mix",
-    "paragraphs", "dsir",
+    "paragraphs", "dsir", "source_overlap",
 )
 
 
@@ -242,6 +242,24 @@ def main() -> None:
         target = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0)
         action = _consuming_count(
             dsir_logratio(docs, "text", "doc_id", target), ["logw"]
+        )
+    elif args.stage == "source_overlap":
+        # cross-source 5-gram overlap matrix over a derived 16-way
+        # source split (the mix stage's split); output is <= 120 pairs,
+        # so the consuming count trivially covers the payload
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.decontaminate import (
+            source_overlap_matrix,
+        )
+
+        tagged = docs.select(
+            "text",
+            F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("string").alias("source"),
+        )
+        action = _consuming_count(
+            source_overlap_matrix(tagged, "text", "source", n=5),
+            ["n_shared", "jaccard"],
         )
     elif args.stage in ("decontaminate", "decontaminate_nobloom"):
         # ladder composition: heldout = doc_id % 7 == 0 of the cleaned
