@@ -142,3 +142,39 @@ def near_dedup_keep_roots(
     comp = assign_components(df, pairs, id_col)
     keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Quality-aware survivor selection: close the candidate ``pairs``
+    into duplicate groups and keep, per group, the member with the BEST
+    ``score_col`` (ties broken by minimum id) — the RefinedWeb/FineWeb
+    policy of retaining the highest-quality copy instead of an
+    arbitrary root.  (The reference's dedup keeps first-seen —
+    /root/reference/src/model/EnvFlatAbacRuleMiner.py dedups summaries
+    by identity; quality-ranked survivors have no analog there.)
+
+    Scale shape: one hash aggregate ``min(struct(order_key, id))`` on
+    the component key — map-side partial min, so a 10^7-member
+    boilerplate cluster reduces before the shuffle; deliberately NOT a
+    row_number window, which would sort every group on one task."""
+    comp = assign_components(df, pairs, id_col)
+    ord_key = F.col(score_col).cast("double")
+    if higher_is_better:
+        ord_key = -ord_key
+    scored = df.select(id_col, score_col).join(comp, id_col)
+    best = (
+        scored.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(ord_key.alias("__ord__"), F.col(id_col).alias("__id__"))
+            ).alias("__b__")
+        )
+        .select(F.col("__b__.__id__").alias(id_col))
+    )
+    return df.join(best, id_col, "left_semi")

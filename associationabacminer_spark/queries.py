@@ -3613,10 +3613,11 @@ def q9i(spark, sf_dir):
     """Cross-source n-gram overlap matrix (operators/decontaminate.
     source_overlap_matrix): distinct shared 5-gram count + Jaccard per
     source pair — the corpus-intake diagnostic for mirrored feeds and
-    shared boilerplate.  The Spark side self-joins (source, xxhash64
-    shingle) distinct rows (per-key fan-out bounded by |sources|^2 by
-    construction); the oracle joins the actual n-gram strings — parity
-    certifies the hashing collision-free."""
+    shared boilerplate.  The Spark side hash-aggregates
+    collect_set(source) per xxhash64 shingle (state bounded by
+    |sources|) and emits src_a<src_b pairs map-side — one real
+    Exchange, no self-join; the oracle joins the actual n-gram strings
+    — parity certifies the hashing collision-free."""
     from associationabacminer_spark.operators.decontaminate import (
         source_overlap_matrix,
     )
@@ -3641,6 +3642,78 @@ def s50(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     scored = dsir_logratio(d, "text", "doc_id", d.filter(F.col("lang") == "en"))
     return dsir_sample(scored, "doc_id", "logw", 50)
+
+
+_Q9J_SQL = r"""
+WITH RECURSIVE
+raw AS (
+  SELECT min(doc_id) OVER (PARTITION BY lower(substr(text, 1, 16))) AS a,
+         doc_id AS b
+  FROM documents
+  UNION ALL
+  SELECT min(doc_id) OVER (
+           PARTITION BY lower(substr(text, greatest(1, len(text) - 15), 16))
+         ) AS a,
+         doc_id AS b
+  FROM documents
+),
+edges AS (SELECT a, b FROM raw WHERE a <> b),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node
+  WHERE r.comp < s.b
+),
+comp AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component ORDER BY d.n_chars DESC, d.doc_id ASC
+         ) AS rn
+  FROM documents d JOIN comp c USING (doc_id)
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@query("q9j_keep_best_dedup", _Q9J_SQL)
+def q9j(spark, sf_dir):
+    """Quality-aware near-dup survivor selection
+    (components.near_dedup_keep_best): q39's two-blocking-key closure,
+    but each duplicate group keeps its HIGHEST-n_chars member (ties ->
+    min doc_id) instead of the min-id root — the RefinedWeb/FineWeb
+    keep-the-best-copy policy.  Spark picks survivors with a map-side
+    partial min(struct(-score, id)) hash aggregate on the component key
+    (never a per-group window sort); the oracle ranks with ROW_NUMBER
+    over the recursive-CTE closure."""
+    from associationabacminer_spark.operators.components import (
+        near_dedup_keep_best,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pre = F.lower(F.col("text").substr(F.lit(1), F.lit(16)))
+    suf = F.lower(
+        F.col("text").substr(
+            F.greatest(F.lit(1), F.length("text") - F.lit(15)), F.lit(16)
+        )
+    )
+    edges = None
+    for key in (pre, suf):
+        keyed = d.select(key.alias("k"), "doc_id")
+        mins = keyed.groupBy("k").agg(F.min("doc_id").alias("src"))
+        e = (
+            keyed.join(mins, "k")
+            .filter(F.col("src") != F.col("doc_id"))
+            .select("src", F.col("doc_id").alias("dst"))
+        )
+        edges = e if edges is None else edges.union(e)
+    return (
+        near_dedup_keep_best(d, edges, "doc_id", "n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 # =========================================================================

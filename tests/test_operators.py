@@ -1238,6 +1238,33 @@ class TestConnectedComponents:
         }
         assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5}
 
+    def test_keep_best_picks_top_score_tie_min_id(self, spark):
+        from associationabacminer_spark.operators.components import (
+            near_dedup_keep_best,
+        )
+
+        # groups: {0,1,2} scores 5,9,9 -> keep 1 (tie 9 at ids 1,2 ->
+        # min id); {3,4} scores 2,7 -> keep 4; {5} singleton -> kept
+        docs = spark.createDataFrame(
+            [(0, 5.0), (1, 9.0), (2, 9.0), (3, 2.0), (4, 7.0), (5, 1.0)],
+            "id: long, score: double",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4)], "src: long, dst: long"
+        )
+        kept = {
+            r["id"] for r in near_dedup_keep_best(docs, pairs, "id", "score").collect()
+        }
+        assert kept == {1, 4, 5}
+        # lower-is-better flips the winners (and the {0,1,2} tie vanishes)
+        kept_lo = {
+            r["id"]
+            for r in near_dedup_keep_best(
+                docs, pairs, "id", "score", higher_is_better=False
+            ).collect()
+        }
+        assert kept_lo == {0, 3, 5}
+
 
 class TestFeatureRanking:
     """Laplacian score / variance ranking vs dense numpy truth."""
