@@ -167,6 +167,10 @@ def near_dedup_keep_best(
     ord_key = F.col(score_col).cast("double")
     if higher_is_better:
         ord_key = -ord_key
+    # null scores always lose (they'd otherwise win or lose depending
+    # on struct null-ordering); a group that is ALL null-scored still
+    # keeps exactly one member via the id tie-break
+    ord_key = F.coalesce(ord_key, F.lit(float("inf")))
     scored = df.select(id_col, score_col).join(comp, id_col)
     best = (
         scored.groupBy("component")

@@ -1265,6 +1265,27 @@ class TestConnectedComponents:
         }
         assert kept_lo == {0, 3, 5}
 
+    def test_keep_best_null_scores_lose(self, spark):
+        from associationabacminer_spark.operators.components import (
+            near_dedup_keep_best,
+        )
+
+        # {0,1}: 1 has the only real score -> wins despite higher id;
+        # {2,3}: all-null group still keeps exactly one (min id)
+        docs = spark.createDataFrame(
+            [(0, None), (1, 3.0), (2, None), (3, None)],
+            "id: long, score: double",
+        )
+        pairs = spark.createDataFrame([(0, 1), (2, 3)], "src: long, dst: long")
+        for flag in (True, False):
+            kept = {
+                r["id"]
+                for r in near_dedup_keep_best(
+                    docs, pairs, "id", "score", higher_is_better=flag
+                ).collect()
+            }
+            assert kept == {1, 2}, flag
+
 
 class TestFeatureRanking:
     """Laplacian score / variance ranking vs dense numpy truth."""
