@@ -559,3 +559,63 @@ def quantiles_by_group(
         for q in qs
     ]
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def percentile_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    rel_width: float = 5e-4,
+    out_col: str = "pctl",
+) -> DataFrame:
+    """Per-row percentile rank of ``col`` WITHIN its group — the
+    score-calibration primitive (normalize a per-doc quality score within
+    each source before applying one global cut, the RefinedWeb/FineWeb
+    heterogeneous-corpus recipe) — without the per-group SORT of raw rows
+    that ``percent_rank() OVER (PARTITION BY g ORDER BY v)`` costs at
+    100 TB.
+
+    Plan: one hash aggregation collapses the input to (group, bin)
+    counts over the same symlog bins as ``quantiles_by_group`` (state =
+    occupied bins per group, ~ln(max/min)/rel_width, never rows); a
+    window cum-sum over that tiny table yields each bin's
+    count-strictly-below; the bin table is then broadcast back onto the
+    fact rows (bin recomputed map-side, no fact-side shuffle).  Total:
+    ONE Exchange over slim (group, bin) pairs vs the window's full-data
+    Exchange + per-group sort.
+
+    ``out_col`` = (# group rows with a strictly smaller bin) /
+    (group_count - 1), i.e. exactly SQL ``percent_rank`` whenever every
+    distinct value occupies its own bin — guaranteed for non-negative
+    integers below ~1/rel_width (bin boundaries then fall between
+    consecutive ints), which the oracled q9k pins.  In the approximate
+    regime (wide-range doubles) ties within one bin share the bin's
+    lower percentile — an error of at most one bin's mass.  Rows with
+    NULL/NaN ``col`` are excluded (mirror the filter in any oracle).
+    Single-row groups get 0.0, matching percent_rank."""
+    from pyspark.sql import Window
+
+    c = F.col(col).cast("double")
+    b = (
+        F.signum(c) * F.floor(F.log1p(F.abs(c)) / F.lit(float(rel_width)))
+    ).cast("long")
+    # bin index is monotone in value (symlog is odd + increasing), so
+    # ordering / cum-summing by __bin == ordering by value
+    facts = df.filter(c.isNotNull() & ~F.isnan(c)).withColumn("__bin", b)
+    bins = facts.groupBy(*group_cols, "__bin").agg(F.count("*").alias("__cnt"))
+    run = Window.partitionBy(*group_cols).orderBy("__bin")
+    allw = Window.partitionBy(*group_cols)
+    ranked = bins.withColumn(
+        "__below", F.sum("__cnt").over(run) - F.col("__cnt")
+    ).withColumn("__tot", F.sum("__cnt").over(allw))
+    pct = F.when(
+        F.col("__tot") > 1, F.col("__below") / (F.col("__tot") - F.lit(1))
+    ).otherwise(F.lit(0.0))
+    return (
+        facts.join(
+            F.broadcast(ranked.select(*group_cols, "__bin", "__below", "__tot")),
+            [*group_cols, "__bin"],
+        )
+        .withColumn(out_col, pct)
+        .drop("__bin", "__below", "__tot")
+    )

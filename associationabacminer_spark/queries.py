@@ -3716,6 +3716,38 @@ def q9j(spark, sf_dir):
     )
 
 
+@query(
+    "q9k_percentile_calibration",
+    """
+    SELECT doc_id, source,
+           ROUND(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 9)
+             AS pctl
+    FROM documents
+    WHERE n_chars IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q9k(spark, sf_dir):
+    """Per-source score-percentile calibration
+    (sql_sketch.percentile_by_group): normalize a per-doc score within
+    each source so one global threshold is fair across heterogeneous
+    sources (the RefinedWeb/FineWeb quality-cut recipe).  Spark computes
+    percent_rank from a (source, symlog-bin) histogram — one slim
+    Exchange + a broadcast join back, never a per-group sort of raw rows
+    — exact on integral scores below ~1/rel_width (n_chars here), which
+    the window-function oracle pins hash-green."""
+    from associationabacminer_spark.operators.sql_sketch import (
+        percentile_by_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        percentile_by_group(d, ["source"], "n_chars")
+        .select("doc_id", "source", F.round(F.col("pctl"), 9).alias("pctl"))
+        .orderBy("doc_id")
+    )
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

@@ -571,6 +571,59 @@ class TestQuantilesByGroup:
                 assert abs(have - exact) <= 2.0 * w * (1.0 + exact), (g, q)
 
 
+class TestPercentileByGroup:
+    def test_exact_percent_rank_on_integers(self, spark):
+        """On integral scores (distinct value == distinct bin) the binned
+        percentile IS SQL percent_rank — the property the oracled q9k
+        pins.  Compared against Spark's own window percent_rank, ties
+        and single-row groups included."""
+        import numpy as np
+        from pyspark.sql import Window
+
+        from associationabacminer_spark.operators.sql_sketch import (
+            percentile_by_group,
+        )
+
+        rng = np.random.default_rng(13)
+        rows = [
+            (i, int(g), int(v))
+            for i, (g, v) in enumerate(
+                zip(rng.integers(0, 3, size=600), rng.integers(1, 40, size=600))
+            )
+        ]
+        rows.append((600, 9, 7))  # single-row group -> percent_rank 0.0
+        df = spark.createDataFrame(rows, "id int, g int, v int")
+        got = {
+            r["id"]: r["pctl"]
+            for r in percentile_by_group(df, ["g"], "v").collect()
+        }
+        want = {
+            r["id"]: r["pr"]
+            for r in df.withColumn(
+                "pr", F.percent_rank().over(Window.partitionBy("g").orderBy("v"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_no_fact_side_shuffle_and_null_exclusion(self, spark):
+        """The fact side reaches the join without an Exchange (bin
+        recomputed map-side, bin table broadcast); NULL scores drop out."""
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 9), (3, "a", None), (4, "b", 2)],
+            "id int, g string, v int",
+        )
+        from associationabacminer_spark.operators.sql_sketch import (
+            percentile_by_group,
+        )
+
+        out = percentile_by_group(df, ["g"], "v")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+        rows = {r["id"]: r["pctl"] for r in out.collect()}
+        assert rows == {1: 0.0, 2: 1.0, 4: 0.0}  # id=3 (NULL) excluded
+
+
 class TestBottomKHarness:
     def test_bottomk_through_applyinpandas_harness(self, spark, transcripts):
         """BottomK slots into the generic SketchSpec harness: the
