@@ -263,6 +263,32 @@ def minhash_signatures_oph(
     return hashed.mapInPandas(scatter, schema="doc_id long, sig array<bigint>")
 
 
+def band_hash_table(
+    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band_hash) — one row per (doc, band); the bucket key is
+    ONE long, xxhash64 over (band index, the band's raw signature longs).
+    Factored out so the incremental-ingest store (operators/ingest.py)
+    bands with byte-identical keys to :func:`lsh_candidate_pairs`."""
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     bands: int = 8,
@@ -293,23 +319,7 @@ def lsh_candidate_pairs(
     # (docs collide only when the SAME band agrees, up to a 2^-64 hash
     # collision — candidate-superset-safe either way, since every pair
     # is exact-rechecked downstream).
-    banded = sig_df.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_hash"),
-    )
+    banded = band_hash_table(sig_df, bands=bands, rows_per_band=rows_per_band)
     # Bucket-size filter BEFORE any collect_list, in ONE pass: a window
     # count over the bucket key shuffles banded once (spill-safe row
     # buffer per group), drops the ~rows*bands singleton buckets, and the
@@ -387,6 +397,26 @@ def minhash_lsh_dedup(
     # the intersect/union compare longs, with the same Jaccard up to a
     # 2^-64 per-pair collision (the decontaminate module's documented
     # trade, dedup.py re-check edition).
+    return exact_jaccard_recheck(
+        df, cands, text_col, id_col, n=n, threshold=threshold
+    )
+
+
+def exact_jaccard_recheck(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs: build
+    hashed shingle arrays ONLY for docs appearing in a pair (semi-join
+    first — string n-gram construction over the whole corpus costs as
+    much as a full signature pass) and keep pairs at or above
+    ``threshold``.  Factored out of :func:`minhash_lsh_dedup` so the
+    incremental-ingest path (operators/ingest.py) re-checks its
+    within-batch candidates without recomputing signatures."""
     cand_ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .union(cands.select(F.col("id_b").alias("doc_id")))

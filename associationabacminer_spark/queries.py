@@ -3748,6 +3748,132 @@ def q9k(spark, sf_dir):
     )
 
 
+@query(
+    "q9l_incremental_ingest",
+    """
+    WITH store AS (SELECT * FROM documents WHERE doc_id < 250),
+         batch AS (
+           SELECT b.doc_id,
+                  CASE WHEN b.doc_id % 5 = 0 THEN s.text
+                       WHEN b.doc_id % 7 = 3 THEN 'shared boilerplate notice'
+                       ELSE b.text END AS text,
+                  b.source
+           FROM documents b LEFT JOIN store s ON s.doc_id = b.doc_id - 250
+           WHERE b.doc_id >= 250),
+         w AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY md5(text)),
+         surv AS (
+           SELECT b.doc_id, b.source FROM batch b
+           JOIN w USING (doc_id)
+           WHERE md5(b.text) NOT IN (SELECT md5(text) FROM store))
+    SELECT doc_id, source FROM surv ORDER BY doc_id
+    """,
+)
+def q9l(spark, sf_dir):
+    """Incremental corpus ingestion (operators/ingest.py): dedup a new
+    batch against a persisted fingerprint store WITHOUT rescanning
+    historical text — the daily-crawl-vs-100-TB-corpus pattern.  The
+    batch is constructed deterministically from the documents table
+    (every 5th doc exact-duplicates a store doc, every 7th-mod-3 shares
+    one boilerplate string within the batch); the oracle mirrors the
+    EXACT path (min-id within batch by md5, anti-join on store digests).
+    ``threshold=1.5`` is unreachable so the near-dup stages run but drop
+    nothing — their statistical behavior is pinned by s50 (planted
+    near-dups + re-ingest idempotence) and TestIncrementalIngest."""
+    from associationabacminer_spark.operators.ingest import (
+        dedup_store_build,
+        incremental_ingest,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") < 250)
+    batch = (
+        d.filter(F.col("doc_id") >= 250)
+        .alias("b")
+        .join(
+            store_docs.select(
+                (F.col("doc_id") + 250).alias("doc_id"),
+                F.col("text").alias("__stext"),
+            ).alias("s"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.col("__stext"))
+            .when(F.col("doc_id") % 7 == 3, F.lit("shared boilerplate notice"))
+            .otherwise(F.col("b.text"))
+            .alias("text"),
+            "source",
+        )
+    )
+    store = dedup_store_build(store_docs, "text", "doc_id")
+    surv = incremental_ingest(batch, store, "text", "doc_id", threshold=1.5)
+    return surv.select("doc_id", "source").orderBy("doc_id")
+
+
+@query("s50_incremental_ingest")
+def s50(spark, sf_dir):
+    """Incremental-ingest NEAR-DUP path + idempotence self-check
+    (rows-only: LSH candidates are statistical).  Plants near-dups of
+    store docs in the batch (one token appended — shingle-set Jaccard
+    >= 0.8 at the corpus' >= 10-token texts), ingests at threshold 0.5,
+    appends the survivors to the store, and re-ingests the same batch.
+    ok requires: >= 95% of planted near-dups dropped via the
+    signature-agreement store probe, >= 90% of genuinely-new docs kept
+    (the corpus carries a few NATURAL near-dup pairs — q32 — that
+    legitimately collapse), and the re-ingest yields ZERO survivors
+    exactly (the seen-digest delta makes idempotence deterministic, not
+    statistical — ingest_delta's contract)."""
+    from associationabacminer_spark.operators.ingest import (
+        dedup_store_append,
+        dedup_store_build,
+        incremental_ingest,
+        ingest_delta,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    store_docs = d.filter(F.col("doc_id") < 150)
+    fresh = d.filter(F.col("doc_id") >= 150).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    planted = store_docs.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    batch = fresh.unionByName(planted)
+    store = dedup_store_build(store_docs, "text", "doc_id")
+    surv = incremental_ingest(batch, store, "text", "doc_id", threshold=0.5)
+    surv = surv.localCheckpoint()
+    kept = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    n_store = store_docs.count()
+    n_fresh = fresh.count()
+    fresh_kept = sum(1 for i in kept if 10_000 <= i < 20_000)
+    planted_kept = sum(1 for i in kept if i >= 20_000)
+    store2 = dedup_store_append(
+        store, ingest_delta(batch, surv, "text", "doc_id")
+    )
+    again = incremental_ingest(batch, store2, "text", "doc_id", threshold=0.5)
+    n_again = again.count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_store),
+                int(n_fresh),
+                int(fresh_kept),
+                int(n_store - planted_kept),
+                int(n_again),
+                bool(
+                    fresh_kept >= 0.9 * n_fresh
+                    and (n_store - planted_kept) >= 0.95 * n_store
+                    and n_again == 0
+                ),
+            )
+        ],
+        "n_store int, n_fresh int, fresh_kept int, planted_dropped int, "
+        "reingest_survivors int, ok boolean",
+    )
+
+
 # =========================================================================
 # Driver-gate ordering (round 4)
 # =========================================================================

@@ -72,6 +72,12 @@ HEADLINE = [
     "q9h_dsir_weights",
     # round 5: cross-source n-gram overlap matrix
     "q9i_source_overlap",
+    # round 5: quality-aware near-dup survivor selection
+    "q9j_keep_best_dedup",
+    # round 5: per-source score-percentile calibration (binned percent_rank)
+    "q9k_percentile_calibration",
+    # round 5: incremental ingest against a persisted fingerprint store
+    "q9l_incremental_ingest",
 ]
 
 BENCH_CONVS = 120_000  # ~1.2M turns; big enough that task parallelism dominates

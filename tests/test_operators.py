@@ -3232,3 +3232,113 @@ class TestSourceOverlapMatrix:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestIncrementalIngest:
+    """operators/ingest.py: dedup a new batch against a persisted
+    fingerprint store without rescanning historical text."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        long_a = " ".join(f"tok{i}" for i in range(40))
+        long_a_mut = " ".join(
+            f"tok{i}" if i != 37 else "changed" for i in range(40)
+        )
+        base = [
+            (1, "the quick brown fox jumps over the lazy dog by the river"),
+            (2, long_a),
+            (3, "a third document with its own distinctive words entirely"),
+        ]
+        batch = [
+            (10, "the quick brown fox jumps over the lazy dog by the river"),
+            (11, long_a_mut),  # near-dup of store doc 2, J ~ 0.85
+            (12, "duplicate inside the batch duplicate inside the batch ok"),
+            (13, "duplicate inside the batch duplicate inside the batch ok"),
+            (14, "a genuinely new document matching nothing else anywhere"),
+        ]
+        return (
+            spark.createDataFrame(base, "doc_id long, text string"),
+            spark.createDataFrame(batch, "doc_id long, text string"),
+        )
+
+    def test_drops_exact_near_and_within_keeps_new(self, corpus):
+        from associationabacminer_spark.operators import ingest
+
+        store_docs, batch = corpus
+        store = ingest.dedup_store_build(store_docs, "text", "doc_id")
+        surv = ingest.incremental_ingest(
+            batch, store, "text", "doc_id", threshold=0.5
+        )
+        ids = sorted(r["doc_id"] for r in surv.collect())
+        # 10 exact-matches store, 11 near-dups store doc 2 (caught by the
+        # band probe + signature agreement), 13 loses to 12 within batch
+        assert ids == [12, 14]
+
+    def test_empty_store_equals_within_batch_dedup(self, spark, corpus):
+        """With an empty store, ingest reduces to exact + MinHash-LSH
+        dedup of the batch alone (same pipeline minhash_lsh_dedup runs,
+        min id kept)."""
+        from associationabacminer_spark.operators import dedup, ingest
+
+        _, batch = corpus
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        store = ingest.dedup_store_build(empty, "text", "doc_id")
+        surv = ingest.incremental_ingest(
+            batch, store, "text", "doc_id", threshold=0.5
+        )
+        got = sorted(r["doc_id"] for r in surv.collect())
+
+        kept = dedup.exact_dedup(batch, "text", "doc_id")
+        pairs = dedup.minhash_lsh_dedup(
+            kept, "text", "doc_id", num_perm=32, bands=8, threshold=0.5
+        )
+        losers = {r["id_b"] for r in pairs.collect()}
+        want = sorted(
+            r["doc_id"] for r in kept.collect() if r["doc_id"] not in losers
+        )
+        assert got == want
+
+    def test_reingest_idempotent_and_seen_semantics(self, corpus):
+        """After absorbing the delta, re-ingesting the same batch yields
+        ZERO survivors — deterministically, because ingest_delta records
+        the digest of EVERY batch doc (seen set), not just survivors:
+        a near-dup-dropped doc must not resurface when the signature
+        estimate undershoots the exact re-check that dropped it."""
+        from associationabacminer_spark.operators import ingest
+
+        store_docs, batch = corpus
+        store = ingest.dedup_store_build(store_docs, "text", "doc_id")
+        surv = ingest.incremental_ingest(
+            batch, store, "text", "doc_id", threshold=0.5
+        ).localCheckpoint()
+        delta = ingest.ingest_delta(batch, surv, "text", "doc_id")
+        # seen semantics: the exact delta covers the whole batch,
+        # sigs/bands only the survivors
+        assert delta["exact"].count() == 4  # 5 batch docs, 12/13 share text
+        assert delta["sigs"].count() == surv.count()
+        store2 = ingest.dedup_store_append(store, delta)
+        again = ingest.incremental_ingest(
+            batch, store2, "text", "doc_id", threshold=0.5
+        )
+        assert again.count() == 0
+
+    def test_store_probe_plan_no_cartesian_no_python(self, corpus):
+        """The whole ingest plan is equi-joins on bounded keys: no
+        CartesianProduct anywhere, and the only Python stage is the OPH
+        signature scatter (mapInPandas) — checked with checkpoint=False
+        so the FULL lineage is in one plan."""
+        from associationabacminer_spark.operators import ingest
+
+        store_docs, batch = corpus
+        store = ingest.dedup_store_build(store_docs, "text", "doc_id")
+        plan = (
+            ingest.incremental_ingest(
+                batch, store, "text", "doc_id", threshold=0.5,
+                checkpoint=False,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
