@@ -113,6 +113,29 @@ def cpu_control_sample() -> float:
     return round(n / (time.perf_counter() - t0), 2)
 
 
+def cpu_control_parallel(nthreads: int = 8) -> float:
+    """SUM of work-units/sec across ``nthreads`` concurrent single-core
+    burns (numpy dgemm releases the GIL, so threads occupy real cores).
+    Catches what the single-core control cannot: a multi-core CPU QUOTA.
+    Measured on this box (round 5): a window with single-core control at
+    a healthy 837 units/s simultaneously capped 8-way aggregate at 1365
+    (~1.6x single, i.e. ~1.7 effective cores out of 32) — Spark suite
+    times 1.3-2x inflated while the per-query shape stayed flat.  Healthy
+    reading on this box: >= ~6x the single-core sample; a parallel/single
+    ratio near 1-2x means quota throttling, not a code regression.
+    (Processes, not threads: the burn's non-BLAS steps hold the GIL, so
+    a thread pool under-reads even on an unthrottled host.)"""
+    from multiprocessing import get_context
+
+    with get_context("fork").Pool(nthreads) as pool:
+        results = pool.map(_burn_one, range(nthreads))
+    return round(sum(results), 2)
+
+
+def _burn_one(_i: int) -> float:
+    return cpu_control_sample()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -174,6 +197,7 @@ def main() -> None:
     }
     out["cpu_control_pre"] = control_pre
     out["cpu_control_post"] = cpu_control_sample()
+    out["cpu_control_par8"] = cpu_control_parallel(8)
     out.update(latest_scaling_evidence())
     print(json.dumps(out))
     spark.stop()
