@@ -61,6 +61,13 @@ from associationabacminer_spark.operators.dedup import (
 DEFAULT_NUM_PERM = 32
 DEFAULT_BANDS = 8
 DEFAULT_NGRAM = 3
+# The store probe's verdict IS the signature (no exact re-check against
+# history), so ingest defaults to OPTIMAL densification (Shrivastava,
+# ICML 2017): P[slot agrees] = Jaccard for any pair, including docs with
+# far fewer shingles than buckets where min-rehash slot agreement
+# collapses (see minhash_signatures_oph).  Store and probe MUST use the
+# same densify mode — signatures from different modes are incomparable.
+DEFAULT_DENSIFY = "optimal"
 
 
 def dedup_store_build(
@@ -70,6 +77,7 @@ def dedup_store_build(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_NGRAM,
+    densify: str = DEFAULT_DENSIFY,
 ) -> dict[str, DataFrame]:
     """Build the three store tables from an accepted corpus (or from an
     ingest's survivors, as the append delta).  ``exact`` is distinct —
@@ -79,7 +87,7 @@ def dedup_store_build(
     base-column filter)."""
     exact = df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
     sigs = minhash_signatures_oph(
-        df, text_col, id_col, num_buckets=num_perm, n=n
+        df, text_col, id_col, num_buckets=num_perm, n=n, densify=densify
     )
     return {
         "exact": exact,
@@ -96,6 +104,7 @@ def ingest_delta(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_NGRAM,
+    densify: str = DEFAULT_DENSIFY,
 ) -> dict[str, DataFrame]:
     """The store delta after an ingest: ``exact`` digests come from the
     WHOLE batch (every content seen — a doc rejected once must be
@@ -107,7 +116,8 @@ def ingest_delta(
     accepted corpus — rejected docs shouldn't pull future docs into
     transitive drops the retained data can't explain)."""
     d = dedup_store_build(
-        survivors, text_col, id_col, num_perm=num_perm, bands=bands, n=n
+        survivors, text_col, id_col,
+        num_perm=num_perm, bands=bands, n=n, densify=densify,
     )
     d["exact"] = batch.select(F.md5(F.col(text_col)).alias("digest")).distinct()
     return d
@@ -135,6 +145,7 @@ def incremental_ingest(
     threshold: float = 0.5,
     max_bucket_size: int | None = 4096,
     checkpoint: bool = True,
+    densify: str = DEFAULT_DENSIFY,
 ) -> DataFrame:
     """Survivors of ``batch`` after (1) exact dedup within the batch,
     (2) exact anti-join against the store, (3) MinHash-LSH near-dup
@@ -167,7 +178,8 @@ def incremental_ingest(
     # ONE signature pass feeds both near-dup stages (slim: num_perm longs
     # per doc).
     sigs = minhash_signatures_oph(
-        survivors, text_col, id_col, num_buckets=num_perm, n=n
+        survivors, text_col, id_col,
+        num_buckets=num_perm, n=n, densify=densify,
     )
     if checkpoint:
         sigs = sigs.localCheckpoint()
@@ -224,3 +236,87 @@ def incremental_ingest(
         .distinct()
     )
     return survivors.join(near_hist, id_col, "left_anti")
+
+
+STORE_TABLES = ("exact", "sigs", "bands")
+_STORE_SCHEMAS = {
+    "exact": "digest string",
+    "sigs": "doc_id long, sig array<bigint>",
+    "bands": "doc_id long, band_hash long",
+}
+
+
+def dedup_store_write(store: dict[str, DataFrame], store_dir: str) -> None:
+    """Append the store tables under ``store_dir/{exact,sigs,bands}``.
+    Append-only by design — an ingest delta never rewrites history; write
+    the band table through sources/layout.py (sorted by band_hash) when
+    probe-side pruning matters."""
+    for k in STORE_TABLES:
+        store[k].write.mode("append").parquet(f"{store_dir}/{k}")
+
+
+def dedup_store_read(spark, store_dir: str) -> dict[str, DataFrame]:
+    """Load the store tables; a missing table (fresh store) reads as
+    empty with the canonical schema, so the first ingest against a new
+    store needs no special-casing."""
+    out: dict[str, DataFrame] = {}
+    for k in STORE_TABLES:
+        try:
+            out[k] = spark.read.parquet(f"{store_dir}/{k}")
+        except Exception:
+            out[k] = spark.createDataFrame([], _STORE_SCHEMAS[k])
+    return out
+
+
+def streaming_ingest_fold(
+    store_dir: str,
+    sink_dir: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    densify: str = DEFAULT_DENSIFY,
+):
+    """Continuous-crawl ingestion: a ``foreachBatch`` fold that runs
+    :func:`incremental_ingest` on each micro-batch against the persisted
+    store and commits survivors + the store delta.
+
+    ``foreachBatch`` (not stream-static joins) is the correct shape
+    here: the store MUTATES as epochs commit, and Structured Streaming
+    pins a static join side for the life of the query (also: stream-
+    static anti-joins and re-aggregating exploded band rows per doc are
+    unsupported mid-stream).  Each epoch sees every prior epoch's
+    accepted docs — the streaming twin of the batch daily-crawl loop,
+    with the same seen/accepted store semantics.
+
+    Replay safety: survivors land at ``sink_dir/epoch=<id>`` with
+    mode=overwrite (idempotent per epoch — the standard foreachBatch
+    recipe), THEN the delta appends to the store.  A crash between the
+    two replays the epoch: the sink overwrite is byte-identical, and
+    the delta append may duplicate digests — harmless under seen-set
+    membership semantics (dedup_store_append's documented contract)."""
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = dedup_store_read(spark, store_dir)
+        surv = incremental_ingest(
+            batch_df,
+            store,
+            text_col,
+            id_col,
+            num_perm=num_perm,
+            bands=bands,
+            n=n,
+            threshold=threshold,
+            densify=densify,
+        ).localCheckpoint()
+        surv.write.mode("overwrite").parquet(f"{sink_dir}/epoch={epoch_id}")
+        delta = ingest_delta(
+            batch_df, surv, text_col, id_col,
+            num_perm=num_perm, bands=bands, n=n, densify=densify,
+        )
+        dedup_store_write(delta, store_dir)
+
+    return fold

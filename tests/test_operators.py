@@ -3342,3 +3342,143 @@ class TestIncrementalIngest:
         )
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+class TestOphOptimalDensification:
+    def test_slot_agreement_tracks_jaccard_on_short_docs(self, spark):
+        """Optimal densification (Shrivastava, ICML 2017) restores
+        P[slot agrees] = Jaccard for docs with far fewer shingles than
+        buckets; min-rehash collapses toward 0 there unless the global
+        minima coincide.  Deterministic values (xxhash64/splitmix64),
+        loose bands so a testdata tweak doesn't flake."""
+        from associationabacminer_spark.functions.text import word_ngrams
+
+        pairs = [
+            ("a brand new crawl document with fresh content nothing like before",
+             "a brand new crawl document with fresh content nothing like beforehand"),
+            ("short doc one two three four five six seven eight nine ten",
+             "short doc one two three four five six seven eight nine eleven"),
+        ]
+        rows = []
+        for i, (a, b) in enumerate(pairs):
+            rows += [(2 * i, a), (2 * i + 1, b)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = {
+            r["doc_id"]: set(r["s"])
+            for r in df.select(
+                "doc_id", F.array_distinct(word_ngrams(F.col("text"), 3)).alias("s")
+            ).collect()
+        }
+
+        def agreements(mode):
+            sigs = {
+                r["doc_id"]: r["sig"]
+                for r in dedup.minhash_signatures_oph(
+                    df, "text", "doc_id", num_buckets=32, n=3, densify=mode
+                ).collect()
+            }
+            return [
+                sum(x == y for x, y in zip(sigs[2 * i], sigs[2 * i + 1])) / 32
+                for i in range(len(pairs))
+            ]
+
+        opt, mrh = agreements("optimal"), agreements("minrehash")
+        for i in range(len(pairs)):
+            a, b = sh[2 * i], sh[2 * i + 1]
+            j = len(a & b) / len(a | b)
+            assert abs(opt[i] - j) <= 0.25, (i, opt[i], j)
+            assert mrh[i] <= j - 0.4, (i, mrh[i], j)  # the gap optimal closes
+
+    def test_optimal_deterministic_filled_slots_unchanged(self, spark):
+        """Densification only touches EMPTY buckets: slots occupied by a
+        real shingle min are byte-identical across modes, and repeated
+        builds are deterministic."""
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(200)))],  # fills most of 32
+            "doc_id long, text string",
+        )
+        a = dedup.minhash_signatures_oph(
+            df, "text", "doc_id", num_buckets=32, densify="optimal"
+        ).collect()[0]["sig"]
+        b = dedup.minhash_signatures_oph(
+            df, "text", "doc_id", num_buckets=32, densify="minrehash"
+        ).collect()[0]["sig"]
+        a2 = dedup.minhash_signatures_oph(
+            df, "text", "doc_id", num_buckets=32, densify="optimal"
+        ).collect()[0]["sig"]
+        assert a == a2
+        # 200 distinct tokens -> essentially every bucket occupied; the
+        # two modes agree wherever a real min exists
+        diff = sum(x != y for x, y in zip(a, b))
+        assert diff <= 2
+
+    def test_invalid_densify_raises(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dedup.minhash_signatures_oph(df, "text", "doc_id", densify="nope")
+
+
+class TestStreamingIngest:
+    def test_two_epochs_store_grows_between_batches(self, spark, tmp_path):
+        """foreachBatch ingest: epoch 2 is deduped against epoch 1's
+        ACCEPTED docs (exact and near), because the store absorbed the
+        epoch-1 delta — the property stream-static joins cannot express
+        (they pin the static side for the query's life)."""
+        from associationabacminer_spark.operators.ingest import (
+            dedup_store_build,
+            dedup_store_write,
+            streaming_ingest_fold,
+        )
+
+        src = str(tmp_path / "src")
+        store_dir = str(tmp_path / "store")
+        sink = str(tmp_path / "sink")
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame(
+            [
+                (1, "seed document one about rivers and banks and foxes today"),
+                (2, "seed document two about spark plans and operators here"),
+            ],
+            schema,
+        )
+        dedup_store_write(dedup_store_build(base, "text", "doc_id"), store_dir)
+        spark.createDataFrame(
+            [
+                # exact dup of store doc 1
+                (10, "seed document one about rivers and banks and foxes today"),
+                (11, "a brand new crawl document with fresh content unlike before"),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_ingest_fold(
+                    store_dir, sink, "text", "doc_id", threshold=0.5
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [
+                    # exact dup of the EPOCH-1 acceptance (doc 11)
+                    (20, "a brand new crawl document with fresh content unlike before"),
+                    # near dup of doc 11 (one token changed) — caught by the
+                    # optimal-densification signature probe
+                    (21, "a brand new crawl document with fresh content unlike beforehand"),
+                    (22, "entirely different final text matching absolutely nothing"),
+                ],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+        assert got == [11, 22]
