@@ -38,7 +38,7 @@ import json
 import time
 
 STAGES = (
-    "prep_uniq", "exact_ladder", "exact_plain",
+    "prep_uniq", "exact_ladder", "exact_plain", "ingest",
     "signatures", "banding", "full", "decontaminate",
     "decontaminate_nobloom", "spans", "lm", "mix",
     "paragraphs", "dsir", "source_overlap",
@@ -178,6 +178,55 @@ def main() -> None:
         # substring-level duplicate spans (Lee et al. k-window member);
         # k=8 whitespace tokens ~ the corpus' short-doc regime
         action = dedup.duplicated_spans(docs, "text", "doc_id", k=8).count
+    elif args.stage == "ingest":
+        # incremental ingest: store = 90% of the corpus (hash split),
+        # batch = the other 10% remapped so every doc is 1/3 exact
+        # recrawl, 1/3 near-dup (one appended token), 1/3 genuinely new
+        # (unique id token appended) — all store-probe paths exercised.
+        # Timed separately: store build+materialize vs the ingest run
+        # (the steady-state cost a daily pipeline pays).
+        from pyspark.sql import functions as F
+
+        from associationabacminer_spark.operators.ingest import (
+            dedup_store_build,
+            incremental_ingest,
+        )
+
+        store_docs = docs
+        # batch = a 10% sample OF THE STORE re-presented as a new crawl:
+        # ids remapped by rehash (an additive offset overflows —
+        # load_docs derives doc_id from xxhash64, full long range), and
+        # per-doc mode making 1/3 exact recrawls, 1/3 near-dups (one
+        # appended token), 1/3 genuinely-new content (8 md5 tokens —
+        # zero shingle overlap with anything in the store)
+        seed = docs.filter(F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(10)) == 0)
+        mode = F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(3))
+        batch = seed.select(
+            F.xxhash64("doc_id", F.lit(7)).alias("doc_id"),
+            F.when(mode == 0, F.col("text"))
+            .when(mode == 1, F.concat(F.col("text"), F.lit(" probetok")))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.md5(F.concat(F.col("text"), F.lit(str(i))))
+                        for i in range(8)
+                    ],
+                )
+            )
+            .alias("text"),
+        )
+        t0 = time.monotonic()
+        store = {
+            k: v.localCheckpoint()
+            for k, v in dedup_store_build(store_docs, "text", "doc_id").items()
+        }
+        rec["store_build_sec"] = round(time.monotonic() - t0, 1)
+        rec["store_docs"] = int(store["sigs"].count())
+        rec["batch_rows"] = int(batch.count())
+        action = incremental_ingest(
+            batch, store, "text", "doc_id", threshold=0.5
+        ).count
     elif args.stage == "lm":
         # CCNet-style bigram cross-entropy, self-trained model.
         # NOT .count(): on an aggregate output Catalyst prunes the avg
