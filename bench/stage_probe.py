@@ -96,6 +96,11 @@ def main() -> None:
     ap.add_argument("--num-perm", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--densify", choices=["minrehash", "optimal"], default="minrehash",
+        help="densification mode for the signatures stage (cost A/B: the "
+             "optimal donor-probe loop vs the single min-rehash fill)",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--shuffle-partitions", type=int, default=None,
@@ -159,7 +164,8 @@ def main() -> None:
         action = dedup.exact_dedup(docs, "text", "doc_id").count
     elif args.stage == "signatures":
         action = dedup.minhash_signatures_oph(
-            docs, "text", "doc_id", num_buckets=args.num_perm, n=3
+            docs, "text", "doc_id", num_buckets=args.num_perm, n=3,
+            densify=args.densify,
         ).count
     elif args.stage == "banding":
         sigs = dedup.minhash_signatures_oph(
