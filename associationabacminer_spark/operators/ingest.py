@@ -320,3 +320,36 @@ def streaming_ingest_fold(
         dedup_store_write(delta, store_dir)
 
     return fold
+
+
+def dedup_store_compact(spark, store_dir: str) -> None:
+    """Rewrite the store for probe efficiency after many appends:
+    ``exact`` deduplicates to one row per digest (replayed epochs append
+    duplicate digests — harmless for membership, pure bytes), ``sigs``/
+    ``bands`` to one row per key, and the band table is rewritten
+    RANGE-SORTED by ``band_hash`` (sources/layout.py — disjoint per-file
+    min/max, so a batch probe's band-key join prunes whole files instead
+    of scanning every append increment).  Writes to a sibling directory
+    first and swaps via rename — safe on a real filesystem; on an object
+    store, point ingest at the new path instead of renaming."""
+    import os
+    import shutil
+
+    from associationabacminer_spark.sources.layout import write_range_sorted
+
+    store = dedup_store_read(spark, store_dir)
+    tmp = store_dir.rstrip("/") + "__compacting"
+    store["exact"].distinct().write.mode("overwrite").parquet(f"{tmp}/exact")
+    store["sigs"].dropDuplicates(["doc_id"]).write.mode("overwrite").parquet(
+        f"{tmp}/sigs"
+    )
+    write_range_sorted(
+        store["bands"].dropDuplicates(["doc_id", "band_hash"]),
+        f"{tmp}/bands",
+        ["band_hash"],
+    )
+    for k in STORE_TABLES:
+        dst = f"{store_dir}/{k}"
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(f"{tmp}/{k}", dst)
+    shutil.rmtree(tmp, ignore_errors=True)

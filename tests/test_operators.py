@@ -3482,3 +3482,60 @@ class TestStreamingIngest:
             q.stop()
         got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
         assert got == [11, 22]
+
+
+class TestStoreCompaction:
+    def test_compact_dedups_sorts_and_preserves_verdicts(self, spark, tmp_path):
+        """After duplicate appends (epoch replay), compaction collapses
+        each table to one row per key, rewrites bands with disjoint
+        per-file band_hash ranges (file-pruning evidence, not
+        assumption), and the ingest verdict is unchanged."""
+        from associationabacminer_spark.operators.ingest import (
+            dedup_store_build,
+            dedup_store_compact,
+            dedup_store_read,
+            dedup_store_write,
+            incremental_ingest,
+        )
+        from associationabacminer_spark.sources.layout import file_ranges
+
+        store_dir = str(tmp_path / "store")
+        base = spark.createDataFrame(
+            [(i, f"seed doc number {i} with tokens alpha beta gamma delta " * 3)
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        delta = dedup_store_build(base, "text", "doc_id")
+        dedup_store_write(delta, store_dir)
+        dedup_store_write(delta, store_dir)  # replayed append
+        store = dedup_store_read(spark, store_dir)
+        assert store["exact"].count() == 80  # duplicated digests
+
+        batch = spark.createDataFrame(
+            [(100, "seed doc number 7 with tokens alpha beta gamma delta " * 3),
+             (101, "a wholly new document unlike anything in the store at all")],
+            "doc_id long, text string",
+        )
+        before = sorted(
+            r["doc_id"]
+            for r in incremental_ingest(
+                batch, store, "text", "doc_id", threshold=0.5
+            ).collect()
+        )
+
+        dedup_store_compact(spark, store_dir)
+        store2 = dedup_store_read(spark, store_dir)
+        assert store2["exact"].count() == 40
+        assert store2["sigs"].count() == 40
+        ranges = file_ranges(str(tmp_path / "store" / "bands"), "band_hash")
+        assert len(ranges) > 1
+        for (lo1, hi1), (lo2, hi2) in zip(ranges := sorted(ranges), ranges[1:]):
+            assert hi1 <= lo2  # disjoint per-file min/max
+
+        after = sorted(
+            r["doc_id"]
+            for r in incremental_ingest(
+                batch, store2, "text", "doc_id", threshold=0.5
+            ).collect()
+        )
+        assert before == after == [101]
