@@ -350,6 +350,13 @@ def dedup_store_compact(spark, store_dir: str) -> None:
     )
     for k in STORE_TABLES:
         dst = f"{store_dir}/{k}"
-        shutil.rmtree(dst, ignore_errors=True)
+        old = f"{dst}__old"
+        # park-then-swap: the old table survives until the compacted one
+        # is in place, so a crash mid-swap leaves a recoverable __old
+        # instead of a missing table
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
         os.rename(f"{tmp}/{k}", dst)
+        shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
