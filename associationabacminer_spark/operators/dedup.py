@@ -118,6 +118,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """n-gram CONTAINMENT near-dup pairs (id_a < id_b, containment >= t)
+    where containment = |A∩B| / min(|A|, |B|) — the asymmetric measure
+    (Broder 1997's resemblance/containment split) for duplication that
+    symmetric Jaccard structurally misses: a short doc quoted verbatim
+    inside a long aggregation page has J ~ |quote|/|page| ~ 0 but
+    containment ~ 1.  Web curation hits this constantly (syndicated
+    snippets, quote-tweets, boilerplate-wrapped articles); a
+    Jaccard-thresholded dedup keeps both copies forever.
+
+    Candidate generation is the same shingle equi-join as
+    :func:`ngram_jaccard_pairs` (never a cross join) with the identical
+    ``max_shingle_df`` hot-shingle cap, and the containment is then
+    computed EXACTLY from the full shingle arrays, so pruning cannot
+    corrupt a reported value.  The cap's miss bound is STRONGER here
+    than for Jaccard: at containment >= t the pair shares >= t * |small|
+    distinct shingles — a fraction of the SMALL side, so even extreme
+    size asymmetry leaves the pair t-proportionally many surviving join
+    keys.  (MinHash-LSH banding, by contrast, cannot target containment
+    at all: P[slot agrees] estimates J, which asymmetry drives to 0 —
+    the reason this operator exists beside minhash_lsh_dedup rather
+    than as a re-check mode of it.)"""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+    exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        exploded = exploded.join(F.broadcast(hot), "sh", "left_anti")
+    a = exploded.select(F.col("doc_id").alias("id_a"), "sh")
+    b = exploded.select(F.col("doc_id").alias("id_b"), "sh")
+    cands = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.least(F.size("sh_a"), F.size("sh_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_perm: int = 32, n: int = 3
 ) -> DataFrame:

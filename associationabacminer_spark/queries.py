@@ -3811,6 +3811,48 @@ def q9l(spark, sf_dir):
     return surv.select("doc_id", "source").orderBy("doc_id")
 
 
+@query(
+    "q9m_containment_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 400)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 3),
+    exf AS (SELECT ex.doc_id, ex.s FROM ex ANTI JOIN hot USING (s)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles))
+                 / CAST(least(len(sa.shingles), len(sb.shingles)) AS DOUBLE), 6)
+             AS containment
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))
+          / CAST(least(len(sa.shingles), len(sb.shingles)) AS DOUBLE) >= 0.25
+    """,
+)
+def q9m(spark, sf_dir):
+    """n-gram CONTAINMENT near-dup pairs (dedup.ngram_containment_pairs):
+    |A∩B| / min(|A|,|B|) — the asymmetric duplication measure for
+    quoted/syndicated/boilerplate-wrapped content, where symmetric
+    Jaccard reads ~|quote|/|page| ~ 0 and a Jaccard-thresholded dedup
+    keeps both copies forever.  Same shingle-equi-join candidates and
+    hot-shingle cap as q32 (the oracle applies the identical DF
+    exclusion), exact containment from the full shingle arrays; the
+    miss bound under the cap is STRONGER than Jaccard's — shared
+    shingles >= t * |small side|, independent of size asymmetry."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return dedup.ngram_containment_pairs(
+        d, "text", "doc_id", n=3, threshold=0.25, max_shingle_df=3
+    )
+
+
 @query("s50_incremental_ingest")
 def s50(spark, sf_dir):
     """Incremental-ingest NEAR-DUP path + idempotence self-check

@@ -1,0 +1,163 @@
+"""Healthy-window watcher for the pending round-5 perf measurements.
+
+The sandbox host throttles in windows, in two modes (see
+BENCH/BASELINE.md "host variance"): per-core slowdown (single-core
+control drops below the ~700-900 units/s healthy band) and a CPU QUOTA
+that caps the box at ~2 of 32 cores while single-core reads healthy
+(detected only by the parallel control: par8/single >= ~5 healthy,
+~1-2 under quota).  Several round-5 measurements were recorded only as
+throttled upper bounds; this watcher samples both controls every
+~2 minutes and, when the window is healthy, runs the pending batch one
+step at a time, re-checking health before each step and re-queuing a
+step whose post-run health check shows the window closed mid-run
+(max 3 attempts, then the last reading stands annotated).
+
+State survives restarts via ``.synth/watcher_state.json``; each step's
+stdout/stderr land in ``.synth/watcher_<step>.log`` and the structured
+outcome is appended to ``.synth/watcher_results.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SYNTH = os.path.join(REPO, ".synth")
+STATE = os.path.join(SYNTH, "watcher_state.json")
+RESULTS = os.path.join(SYNTH, "watcher_results.jsonl")
+
+# single-core healthy band on this box is ~700-900 units/s; 650 keeps a
+# margin for sample noise.  par8 ratio reads ~7-8 healthy, ~1-2 quota.
+SINGLE_HEALTHY = 650.0
+PAR8_RATIO_HEALTHY = 5.0
+
+ENV = dict(os.environ, PYTHONPATH=REPO)
+
+STEPS = [
+    {
+        "name": "bench_suite",
+        "cmd": [sys.executable, os.path.join(REPO, "bench.py")],
+        "timeout": 900,
+    },
+    {
+        "name": "ingest_12M",
+        "cmd": [
+            sys.executable, os.path.join(REPO, "bench", "stage_probe.py"),
+            "ingest", "--input", os.path.join(SYNTH, "scaling_12M"),
+            "--out", os.path.join(SYNTH, "stage_probe_r05b.jsonl"),
+        ],
+        "timeout": 1800,
+    },
+    {
+        "name": "densify_minrehash_12M",
+        "cmd": [
+            sys.executable, os.path.join(REPO, "bench", "stage_probe.py"),
+            "signatures", "--input", os.path.join(SYNTH, "scaling_12M"),
+            "--densify", "minrehash",
+            "--out", os.path.join(SYNTH, "stage_probe_r05b.jsonl"),
+        ],
+        "timeout": 1200,
+    },
+    {
+        "name": "densify_optimal_12M",
+        "cmd": [
+            sys.executable, os.path.join(REPO, "bench", "stage_probe.py"),
+            "signatures", "--input", os.path.join(SYNTH, "scaling_12M"),
+            "--densify", "optimal",
+            "--out", os.path.join(SYNTH, "stage_probe_r05b.jsonl"),
+        ],
+        "timeout": 1200,
+    },
+]
+
+
+def health() -> dict:
+    import bench
+
+    single = bench.cpu_control_sample()
+    par8 = bench.cpu_control_parallel(8)
+    ratio = par8 / max(single, 1e-9)
+    return {
+        "single": single,
+        "par8": par8,
+        "ratio": round(ratio, 2),
+        "healthy": single >= SINGLE_HEALTHY and ratio >= PAR8_RATIO_HEALTHY,
+    }
+
+
+def load_state() -> dict:
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            return json.load(f)
+    return {"attempts": {}, "done": {}}
+
+
+def save_state(st: dict) -> None:
+    tmp = STATE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f, indent=1)
+    os.replace(tmp, STATE)
+
+
+def record(rec: dict) -> None:
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    os.makedirs(SYNTH, exist_ok=True)
+    st = load_state()
+    while True:
+        pending = [
+            s for s in STEPS
+            if s["name"] not in st["done"]
+            and st["attempts"].get(s["name"], 0) < 3
+        ]
+        if not pending:
+            record({"ts": time.time(), "event": "all_done"})
+            return
+        h = health()
+        record({"ts": time.time(), "event": "health", **h,
+                "pending": [s["name"] for s in pending]})
+        if not h["healthy"]:
+            time.sleep(120)
+            continue
+        step = pending[0]
+        name = step["name"]
+        st["attempts"][name] = st["attempts"].get(name, 0) + 1
+        save_state(st)
+        log = os.path.join(SYNTH, f"watcher_{name}.log")
+        t0 = time.monotonic()
+        with open(log, "a") as lf:
+            lf.write(f"\n=== attempt {st['attempts'][name]} ts={time.time()} "
+                     f"pre-health {h}\n")
+            lf.flush()
+            try:
+                rc = subprocess.run(
+                    step["cmd"], stdout=lf, stderr=subprocess.STDOUT,
+                    env=ENV, timeout=step["timeout"], cwd=REPO,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = -9
+        wall = round(time.monotonic() - t0, 1)
+        h_post = health()
+        ok = rc == 0 and h_post["healthy"]
+        rec = {"ts": time.time(), "event": "step", "step": name, "rc": rc,
+               "wall_s": wall, "pre": h, "post": h_post, "clean": ok,
+               "attempt": st["attempts"][name]}
+        record(rec)
+        if rc == 0 and (ok or st["attempts"][name] >= 3):
+            # a successful run whose window closed mid-way still stands
+            # (annotated) once retries are exhausted
+            st["done"][name] = rec
+            save_state(st)
+        time.sleep(10)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,50 @@ class TestDedup:
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (0, 1) in got and (2, 3) in got
 
+    def test_containment_catches_quote_jaccard_misses(self, spark):
+        """A short doc embedded verbatim in a long page: containment = 1
+        while Jaccard ~ |quote|/|page| stays below any useful threshold —
+        the asymmetric case ngram_containment_pairs exists for."""
+        quote = "the quick brown fox jumps over the lazy dog"
+        page = " ".join(
+            f"filler{i} token{i} pad{i}" for i in range(30)
+        ) + " " + quote + " " + " ".join(f"tail{i} end{i} more{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(0, quote), (1, page), (2, "an unrelated document about spark joins")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.ngram_containment_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.9
+            ).collect()
+        }
+        assert cont == {(0, 1): 1.0}
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.2
+            ).collect()
+        }
+        assert (0, 1) not in jac  # symmetric measure misses it
+
+    def test_containment_cap_keeps_asymmetric_pair(self, spark):
+        """max_shingle_df drops hot shingles from candidate generation
+        only; the pair survives via its non-hot shared keys and the
+        reported containment is still computed from FULL shingle sets."""
+        quote = "alpha beta gamma delta epsilon zeta eta theta"
+        boiler = " ".join(["common boilerplate line"] * 3)
+        rows = [(0, quote), (1, boiler + " " + quote + " unique trailer here")]
+        rows += [(i + 10, boiler + f" distinct page {i} body text") for i in range(6)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.ngram_containment_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.9, max_shingle_df=3
+            ).collect()
+        }
+        assert (0, 1) in capped and capped[(0, 1)] == 1.0
+
     def test_minhash_lsh_recall(self, docs):
         exact = {
             (r["id_a"], r["id_b"])
