@@ -310,12 +310,26 @@ def tree_merge(
 
     persisted = None
     if n_states is None:
-        # the lineage is tiny (G x n_specs rows); persist so the count
-        # does not recompute the whole build
-        persisted = lineage = lineage.persist()
-        n_states = lineage.select(F.countDistinct("group_id").alias("g")).collect()[
-            0
-        ]["g"]
+        # Upper bound on distinct group ids without running a job: the
+        # map build's group id is spark_partition_id, so the lineage has
+        # at most one group per input partition.  When that bound already
+        # fits under driver_threshold the tree loop cannot run for ANY
+        # actual count <= bound, so the counting job (and the persist
+        # that backed it) is pure overhead — the single collect below
+        # then consumes the build exactly once, fully pipelined.
+        try:
+            bound = lineage.rdd.getNumPartitions()
+        except Exception:
+            bound = None
+        if bound is not None and bound <= driver_threshold:
+            n_states = bound
+        else:
+            # the lineage is tiny (G x n_specs rows); persist so the
+            # count does not recompute the whole build
+            persisted = lineage = lineage.persist()
+            n_states = lineage.select(
+                F.countDistinct("group_id").alias("g")
+            ).collect()[0]["g"]
     current = lineage
     while n_states > driver_threshold:
         n_next = max(1, (n_states + fanout - 1) // fanout)

@@ -61,11 +61,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """On (hi, lo)-oriented edges: link all of u's smaller neighbors (and
-    u itself) to the minimum of that neighborhood."""
-    oriented = _canonical(edges)
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    u itself) to the minimum of that neighborhood.
+
+    Input edges may carry duplicates: ``_large_star`` emits (hi, lo)
+    rows (v > u >= m by construction, so orientation and self-loop
+    freedom hold already) and the round's closing ``_canonical`` dedups
+    the output — an inner dedup here added an Exchange per round for
+    the same final edge set (duplicates only inflate the relink rows of
+    one round, never compound across rounds)."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
     relink = (
-        oriented.join(mins, "src")
+        edges.join(mins, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
     return relink.union(mins.select("src", F.col("m").alias("dst")))
@@ -85,15 +91,30 @@ def connected_components(
     Converges when a large-star + small-star round leaves the edge set
     unchanged; at that point edges form a star forest rooted at minima.
     """
+    # lazy checkpoints: the convergence probe below is the first action
+    # over each round's edge set, so eager=False folds the checkpoint
+    # materialization into that job instead of paying a dedicated job
+    # per round (halves the round's job count; the cached blocks still
+    # truncate lineage exactly as before)
     e = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     converged = False
     for _ in range(max_rounds):
-        nxt = _canonical(_small_star(_large_star(e))).localCheckpoint()
-        # star forest test: no parent (dst) is itself a child (src)
-        unstable = nxt.join(
-            nxt.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi"
+        nxt = _canonical(_small_star(_large_star(e))).localCheckpoint(eager=False)
+        # star forest test: no parent (dst) is itself a child (src).
+        # ONE hash aggregate over the role-tagged node stream — the
+        # previous distinct + semi-join probe cost two exchanges (and an
+        # AQE broadcast job) per round for the same boolean.
+        roles = nxt.select(
+            F.col("src").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
+        ).union(
+            nxt.select(F.col("dst").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+        )
+        unstable = (
+            roles.groupBy("n")
+            .agg(F.max("c").alias("c"), F.max("p").alias("p"))
+            .filter((F.col("c") == 1) & (F.col("p") == 1))
         )
         e = nxt
         if unstable.isEmpty():

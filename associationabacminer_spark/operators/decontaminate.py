@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from associationabacminer_spark.functions.text import word_ngrams
+from associationabacminer_spark.functions.text import word_ngram_hash_arrays
 
 # "auto" engages the Bloom prefilter only when Catalyst's size estimate
 # of the probe (test) side is at least this many bytes.  Measured
@@ -48,15 +48,13 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc, sh): shingles carried as xxhash64 int64, not strings — the
     distinct and the train/test equi-join shuffle 8 bytes per shingle
     instead of ~6n bytes.  A 64-bit collision could flag one clean doc
-    (P ~ |shingles|^2 / 2^64); acceptable for a contamination screen."""
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s))
-            )
-        ).alias("sh"),
+    (P ~ |shingles|^2 / 2^64); acceptable for a contamination screen.
+    Round 6: hashes come from the token-hash chain
+    (``word_ngram_hash_arrays``) — no n-gram string is ever built."""
+    arr = word_ngram_hash_arrays(
+        df.select(F.col(id_col).alias("doc"), text_col), text_col, ["doc"], n
     )
+    return arr.select("doc", F.explode("sh_arr").alias("sh"))
 
 
 def contaminated_ids(
@@ -187,17 +185,14 @@ def source_overlap_matrix(
     shingles, jaccard = n_shared / |union of the pair's shingles|,
     rounded to 6."""
     # shingles carry the source directly (no doc-key join — the doc id
-    # is irrelevant to the matrix, so it never enters a shuffle)
-    sh_src = df.select(
-        F.col(source_col).alias("src"),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
-                )
-            )
-        ).alias("sh"),
-    )
+    # is irrelevant to the matrix, so it never enters a shuffle); hashed
+    # via the token-hash chain, no n-gram string allocation
+    sh_src = word_ngram_hash_arrays(
+        df.select(F.col(source_col).alias("src"), text_col),
+        text_col,
+        ["src"],
+        n,
+    ).select("src", F.explode("sh_arr").alias("sh"))
     sets = sh_src.groupBy("sh").agg(
         F.array_sort(F.collect_set("src")).alias("__srcs__")
     )
@@ -225,26 +220,41 @@ def source_overlap_matrix(
             F.col("__p__.src_b").alias("src_b"),
         )
         .agg(F.count("*").alias("n_shared"))
-        # tiny (<= |sources|^2 rows) but referenced twice below —
-        # persist so the corpus aggregate runs once
-        .persist()
     )
-    shared = counts.filter(F.col("src_a") != F.col("src_b"))
-    totals = counts.filter(F.col("src_a") == F.col("src_b")).select(
-        F.col("src_a").alias("src"), F.col("n_shared").alias("n_sh")
+    # Attach the per-source totals (the (x, x) self-pair rows) to every
+    # shared pair with ONE single-partition window over the tiny counts
+    # table (<= |sources|^2 rows): a collect_list of the self-pair
+    # entries becomes a map looked up in place.  The previous
+    # formulation persisted counts and ran two broadcast joins — three
+    # extra jobs (cache materialization + two broadcast builds) for the
+    # same arithmetic.  |sources| is small by the operator's contract
+    # (per-key state is bounded by it), so the one-task window is bounded
+    # the same way the broadcast relation was.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    tot = F.map_from_entries(
+        F.collect_list(
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                F.struct(F.col("src_a").alias("k"), F.col("n_shared").alias("v")),
+            )
+        ).over(w)
     )
-    ta = totals.select(F.col("src").alias("src_a"), F.col("n_sh").alias("__na__"))
-    tb = totals.select(F.col("src").alias("src_b"), F.col("n_sh").alias("__nb__"))
     return (
-        shared.join(F.broadcast(ta), "src_a")
-        .join(F.broadcast(tb), "src_b")
+        counts.withColumn("__tot__", tot)
+        .filter(F.col("src_a") != F.col("src_b"))
         .select(
             "src_a",
             "src_b",
             "n_shared",
             F.round(
                 F.col("n_shared")
-                / (F.col("__na__") + F.col("__nb__") - F.col("n_shared")),
+                / (
+                    F.element_at("__tot__", F.col("src_a"))
+                    + F.element_at("__tot__", F.col("src_b"))
+                    - F.col("n_shared")
+                ),
                 6,
             ).alias("jaccard"),
         )

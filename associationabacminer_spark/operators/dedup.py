@@ -21,7 +21,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from associationabacminer_spark.functions.text import fingerprint, word_ngrams
+from associationabacminer_spark.functions.text import (
+    fingerprint,
+    word_ngram_hash_arrays,
+    word_ngrams,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -536,20 +540,18 @@ def exact_jaccard_recheck(
         .union(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = (
+    # Round 6: the hashed arrays come from the token-hash chain
+    # (word_ngram_hash_arrays) — n-gram strings are never built, the
+    # same equality structure up to 64-bit collisions
+    sh = word_ngram_hash_arrays(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("__text"),
-        )
-        .join(cand_ids, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    word_ngrams(F.col("__text"), n), lambda s: F.xxhash64(s)
-                )
-            ).alias("shingles"),
-        )
+        ).join(cand_ids, "doc_id", "left_semi"),
+        "__text",
+        ["doc_id"],
+        n,
+        out="shingles",
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))

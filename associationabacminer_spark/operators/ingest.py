@@ -86,9 +86,12 @@ def dedup_store_build(
     meaningful Jaccard — mirrors minhash_signatures_oph's narrow
     base-column filter)."""
     exact = df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    # persist: ``sigs`` and ``bands`` are two store tables derived from
+    # the same OPH map — without it a consumer touching both (the ingest
+    # probe, or a store write) runs the signature pass twice
     sigs = minhash_signatures_oph(
         df, text_col, id_col, num_buckets=num_perm, n=n, densify=densify
-    )
+    ).persist()
     return {
         "exact": exact,
         "sigs": sigs,
@@ -173,7 +176,11 @@ def incremental_ingest(
         "left_anti",
     )
     if checkpoint:
-        survivors = survivors.localCheckpoint()
+        # eager=False: the first consuming job materializes the
+        # checkpoint in-line instead of paying a dedicated job up front;
+        # the cached blocks truncate lineage for the other branches
+        # exactly as before
+        survivors = survivors.localCheckpoint(eager=False)
 
     # ONE signature pass feeds both near-dup stages (slim: num_perm longs
     # per doc).
@@ -182,7 +189,7 @@ def incremental_ingest(
         num_buckets=num_perm, n=n, densify=densify,
     )
     if checkpoint:
-        sigs = sigs.localCheckpoint()
+        sigs = sigs.localCheckpoint(eager=False)
 
     # (3): near-dup within the batch — both texts in hand, so the full
     # exact-re-check pipeline applies; drop the larger id of each

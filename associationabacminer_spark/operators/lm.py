@@ -95,13 +95,11 @@ def bigram_lm_scores(
     )
 
 
-def _train_bigram_model(model: DataFrame, text_col: str, suffix: str):
-    """(bigram_counts, context_counts, vocab_size) for an add-k bigram
-    model — ONE corpus pass: context counts and the vocabulary both
-    derive from the bigram count table (cu(p) = sum_w cb(p, w); every
-    token of a >= 2-token doc appears in some bigram, so vocab =
-    distinct hp ∪ hw of the TABLE) instead of re-scanning the corpus.
-    The vocab-bounded table is persisted: the v scalar job materializes
+def _bigram_tables(model: DataFrame, text_col: str, suffix: str):
+    """(bigram_counts, context_counts) for an add-k bigram model — ONE
+    corpus pass: context counts derive from the bigram count table
+    (cu(p) = sum_w cb(p, w)) instead of re-scanning the corpus.  The
+    vocab-bounded table is persisted: the vocab scalar job materializes
     it once and the scoring joins read the cache.  Count columns are
     suffixed so two models can join into one scoring pass
     (``dsir_logratio``)."""
@@ -110,12 +108,23 @@ def _train_bigram_model(model: DataFrame, text_col: str, suffix: str):
         mp.groupBy("hp", "hw").agg(F.count("*").alias(f"cb{suffix}")).persist()
     )
     context = bigram.groupBy("hp").agg(F.sum(f"cb{suffix}").alias(f"cu{suffix}"))
-    v = (
-        bigram.select(F.col("hp").alias("h"))
-        .unionAll(bigram.select(F.col("hw").alias("h")))
-        .agg(F.countDistinct("h"))
-        .first()[0]
-    )
+    return bigram, context
+
+
+def _vocab_union(bigram: DataFrame, tag: str) -> DataFrame:
+    """(tag, h) token rows of a bigram table — vocab = distinct hp ∪ hw
+    of the TABLE (every token of a >= 2-token doc appears in some
+    bigram, so no corpus re-scan is needed)."""
+    return bigram.select(
+        F.lit(tag).alias("__m__"), F.col("hp").alias("h")
+    ).unionAll(bigram.select(F.lit(tag), F.col("hw")))
+
+
+def _train_bigram_model(model: DataFrame, text_col: str, suffix: str):
+    """(bigram_counts, context_counts, vocab_size); the v scalar job
+    doubles as the cache-materialization pass for the bigram table."""
+    bigram, context = _bigram_tables(model, text_col, suffix)
+    v = _vocab_union(bigram, "m").agg(F.countDistinct("h")).first()[0]
     if not v:
         # every P(w|p) would be 0.5/0 -> xent = -inf; fail loudly instead
         raise ValueError(
@@ -174,10 +183,25 @@ def dsir_logratio(
     (both models must be static; scoring is then four stream-static
     joins + one streaming aggregate — parity with the batch run tested
     in TestStreamingQualityScreens)."""
-    bt, ct, vt = _train_bigram_model(target_df, text_col, "_t")
-    br, cr, vr = _train_bigram_model(
+    bt, ct = _bigram_tables(target_df, text_col, "_t")
+    br, cr = _bigram_tables(
         raw_model_df if raw_model_df is not None else df, text_col, "_r"
     )
+    # ONE scalar job computes both vocab sizes (and materializes both
+    # persisted bigram caches) instead of two sequential jobs
+    vrows = dict(
+        _vocab_union(bt, "t")
+        .unionAll(_vocab_union(br, "r"))
+        .groupBy("__m__")
+        .agg(F.countDistinct("h").alias("v"))
+        .collect()
+    )
+    vt, vr = vrows.get("t", 0), vrows.get("r", 0)
+    if not vt or not vr:
+        raise ValueError(
+            "model corpus has no bigrams (no doc with >= 2 tokens) — "
+            "cannot train a bigram model"
+        )
     dp = _bigram_rows(df, text_col, id_col)
     scored = (
         dp.join(br, ["hp", "hw"], "left")
