@@ -79,14 +79,44 @@ def lang_hits(text: Column | str, lang: str) -> Column:
 
 def lang_guess(text: Column | str) -> Column:
     """Argmax of marker-hit counts; 'und' (undetermined) when all zero.
-    Ties break in the fixed order en > de > fr > es (strict > below)."""
+    Ties break in the fixed order en > de > fr > es (strict > below).
+
+    The token array and the 4-hit-count array are pinned with
+    ``bind_once``: the argmax expression references every hit count
+    several times, and filter() is an interpreted higher-order function
+    with no codegen CSE — the plain formulation re-split and re-scanned
+    the text ~20x per row (round-6 plan audit)."""
     t = text if isinstance(text, Column) else F.col(text)
-    hits = {lang: lang_hits(t, lang) for lang in _LANG_MARKERS}
-    best_score = reduce(F.greatest, hits.values())
-    expr = F.lit("und")
-    for lang in reversed(list(_LANG_MARKERS)):
-        expr = F.when(hits[lang] == best_score, F.lit(lang)).otherwise(expr)
-    return F.when(best_score <= 0, F.lit("und")).otherwise(expr)
+    langs = list(_LANG_MARKERS)
+    toks_expr = F.split(F.trim(F.lower(t)), r"\s+")
+
+    def with_hits(h):
+        hit = {lang: F.element_at(h, i + 1) for i, lang in enumerate(langs)}
+        best_score = reduce(F.greatest, hit.values())
+        expr = F.lit("und")
+        for lang in reversed(langs):
+            expr = F.when(hit[lang] == best_score, F.lit(lang)).otherwise(expr)
+        return F.when(best_score <= 0, F.lit("und")).otherwise(expr)
+
+    def marker_pred(markers):
+        # factory (NOT a default-arg pin): pyspark passes (element,
+        # index) to any two-parameter lambda, defaults included — the
+        # documented shadowing trap — and a bare closure over the loop
+        # var would late-bind every language to the last marker set
+        return lambda w: w.isin(*markers)
+
+    return bind_once(
+        toks_expr,
+        lambda toks: bind_once(
+            F.array(
+                *[
+                    F.size(F.filter(toks, marker_pred(_LANG_MARKERS[lang])))
+                    for lang in langs
+                ]
+            ),
+            with_hits,
+        ),
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

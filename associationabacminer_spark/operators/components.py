@@ -91,17 +91,17 @@ def connected_components(
     Converges when a large-star + small-star round leaves the edge set
     unchanged; at that point edges form a star forest rooted at minima.
     """
-    # lazy checkpoints: the convergence probe below is the first action
-    # over each round's edge set, so eager=False folds the checkpoint
-    # materialization into that job instead of paying a dedicated job
-    # per round (halves the round's job count; the cached blocks still
-    # truncate lineage exactly as before)
+    # eager checkpoints deliberately: a lazy localCheckpoint races with
+    # limit-style first actions (the convergence probe's isEmpty computes
+    # only some partitions, truncates lineage, and later jobs can hit
+    # "Block does not exist" — observed in the round-6 e2e run before
+    # this was reverted)
     e = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     converged = False
     for _ in range(max_rounds):
-        nxt = _canonical(_small_star(_large_star(e))).localCheckpoint(eager=False)
+        nxt = _canonical(_small_star(_large_star(e))).localCheckpoint()
         # star forest test: no parent (dst) is itself a child (src).
         # ONE hash aggregate over the role-tagged node stream — the
         # previous distinct + semi-join probe cost two exchanges (and an

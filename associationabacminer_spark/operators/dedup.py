@@ -85,10 +85,20 @@ def ngram_jaccard_pairs(
     shingles are above the cap; at jaccard >= t a pair shares >=
     t/(1+t) * max(|A|,|B|) distinct shingles, so a cap above the hot
     tail leaves real near-dups multiple surviving join keys.  None (the
-    default, for the oracle path) disables the cap."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    default, for the oracle path) disables the cap.
+
+    Round 6: shingles are xxhash64 longs from the token-hash chain
+    (``word_ngram_hash_arrays``) — no n-gram string is built, the join
+    and the array intersect/union compare 8-byte longs (same counts up
+    to 64-bit collisions, the documented decontaminate/LSH trade), and
+    the exact arrays are rebuilt only for docs that appear in a
+    candidate pair."""
+    sh = word_ngram_hash_arrays(
+        df.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col,
+        ["doc_id"],
+        n,
+        out="shingles",
     )
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     if max_shingle_df is not None:
@@ -107,8 +117,14 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    sa = shc.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shc.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
@@ -150,10 +166,16 @@ def ngram_containment_pairs(
     keys.  (MinHash-LSH banding, by contrast, cannot target containment
     at all: P[slot agrees] estimates J, which asymmetry drives to 0 —
     the reason this operator exists beside minhash_lsh_dedup rather
-    than as a re-check mode of it.)"""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
+    than as a re-check mode of it.)
+
+    Round 6: hashed shingles + candidate-only array rebuild, exactly as
+    in :func:`ngram_jaccard_pairs` (same collision trade)."""
+    sh = word_ngram_hash_arrays(
+        df.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col,
+        ["doc_id"],
+        n,
+        out="shingles",
     )
     exploded = sh.select("doc_id", F.explode("shingles").alias("sh"))
     if max_shingle_df is not None:
@@ -172,8 +194,14 @@ def ngram_containment_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    sa = shc.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shc.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
@@ -762,23 +790,27 @@ def _window_fingerprint_rows(df: DataFrame, text_col: str, id_col: str, k: int) 
     hash per window over 8-byte longs.  Docs shorter than k tokens
     produce no rows.
 
-    Built as CHAINED projections so the token-hash array stays a bound
-    attribute inside the window transform lambda — inlining it as a raw
-    expression re-evaluates the split + per-token hashing once PER
-    WINDOW, the O(tokens^2) Catalyst trap `minhash_signatures_oph`
-    documents (measured here: 8-10 s -> sub-second at sf0.1)."""
+    The token-hash array is pinned with ``bind_once`` — chained
+    projections alone are NOT enough: the posexplode Generate lets the
+    optimizer collapse them and re-evaluate the split + per-token
+    hashing once PER WINDOW, the O(tokens^2) Catalyst trap
+    `minhash_signatures_oph` documents (round-6 plan audit: the chained
+    form still carried 4 copies of the split under the Generate; a
+    NamedLambdaVariable cannot be inlined)."""
+    from associationabacminer_spark.functions.text import bind_once
+
     tokd = df.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks__"),
+    ).filter(F.size("__toks__") >= k)
+    fps = bind_once(
+        F.transform("__toks__", lambda t: F.xxhash64(t)),
+        lambda th: F.transform(
+            F.sequence(F.lit(0), F.size(th) - k),
+            lambda i: F.xxhash64(F.slice(th, i + 1, k)),
+        ),
     )
-    thd = tokd.select(
-        id_col, F.transform("__toks__", lambda t: F.xxhash64(t)).alias("__th__")
-    ).filter(F.size("__th__") >= k)
-    fps = F.transform(
-        F.sequence(F.lit(0), F.size("__th__") - k),
-        lambda i: F.xxhash64(F.slice(F.col("__th__"), i + 1, k)),
-    )
-    return thd.select(id_col, F.posexplode(fps).alias("s", "fp"))
+    return tokd.select(id_col, F.posexplode(fps).alias("s", "fp"))
 
 
 def duplicated_spans(

@@ -176,11 +176,7 @@ def incremental_ingest(
         "left_anti",
     )
     if checkpoint:
-        # eager=False: the first consuming job materializes the
-        # checkpoint in-line instead of paying a dedicated job up front;
-        # the cached blocks truncate lineage for the other branches
-        # exactly as before
-        survivors = survivors.localCheckpoint(eager=False)
+        survivors = survivors.localCheckpoint()
 
     # ONE signature pass feeds both near-dup stages (slim: num_perm longs
     # per doc).
@@ -189,7 +185,7 @@ def incremental_ingest(
         num_buckets=num_perm, n=n, densify=densify,
     )
     if checkpoint:
-        sigs = sigs.localCheckpoint(eager=False)
+        sigs = sigs.localCheckpoint()
 
     # (3): near-dup within the batch — both texts in hand, so the full
     # exact-re-check pipeline applies; drop the larger id of each

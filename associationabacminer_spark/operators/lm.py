@@ -29,25 +29,28 @@ from pyspark.sql import functions as F
 
 def _bigram_rows(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     """(id?, hp, hw) hashed bigram rows, one per adjacent token pair.
-    Chained projections keep the token array a bound attribute (the
-    transform-inlining trap documented in minhash_signatures_oph)."""
+    The token-hash array is pinned with ``bind_once`` (the
+    transform-inlining trap documented in minhash_signatures_oph;
+    round-6 plan audit showed the explode Generate collapsed the old
+    chained projections and duplicated the tokenization)."""
+    from associationabacminer_spark.functions.text import bind_once
+
     cols = [F.col(id_col)] if id_col else []
     tokd = df.select(
         *cols,
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks__"),
-    )
-    thd = tokd.select(
-        *([id_col] if id_col else []),
-        F.transform("__toks__", lambda t: F.xxhash64(t)).alias("__th__"),
-    ).filter(F.size("__th__") >= 2)
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size("__th__") - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("__th__"), i).alias("hp"),
-            F.element_at(F.col("__th__"), i + 1).alias("hw"),
+    ).filter(F.size("__toks__") >= 2)
+    pairs = bind_once(
+        F.transform("__toks__", lambda t: F.xxhash64(t)),
+        lambda th: F.transform(
+            F.sequence(F.lit(1), F.size(th) - 1),
+            lambda i: F.struct(
+                F.element_at(th, i).alias("hp"),
+                F.element_at(th, i + 1).alias("hw"),
+            ),
         ),
     )
-    ex = thd.select(
+    ex = tokd.select(
         *([id_col] if id_col else []), F.explode(pairs).alias("__pair__")
     )
     return ex.select(
@@ -241,32 +244,48 @@ def gopher_repetition(
     ZERO-shuffle scale shape: every column is a per-row expression over
     the token-hash array (n-grams hashed via xxhash64 over slices — no
     n-gram strings), so the whole filter is map-side; the plan contains
-    no Exchange at all.  The token-hash array is projected ONCE in a
-    chained select (the transform-inlining trap again), shared by all
-    requested n.
+    no Exchange at all.  ALL output columns are computed inside one
+    bound-lambda struct emitted through ``inline`` — the Generate
+    evaluates its generator once per row, so the token-hash array and
+    each per-n gram array are built exactly once regardless of how many
+    columns read them (the chained-projection form was collapsed by the
+    optimizer and re-evaluated the tokenization per column and the gram
+    array twice per n — the round-6 plan-audit trap).
 
     Returns ``df``'s id plus ``n_tokens`` and one ``dup_{n}gram_frac``
     per n (rounded to 6); docs with fewer than n tokens score 0.0 for
     that n."""
+    from associationabacminer_spark.functions.text import bind_once
+
     tokd = df.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks__"),
     )
-    thd = tokd.select(
-        id_col, F.transform("__toks__", lambda t: F.xxhash64(t)).alias("__th__")
-    )
-    cols = [F.size("__th__").cast("long").alias("n_tokens")]
 
-    def gram_hash(n: int):
+    def gram_hash(th, n: int):
         # NB: must be a ONE-parameter lambda — pyspark passes (element,
         # index) to two-parameter transform lambdas, so `lambda i, n=n:`
         # silently binds n to the INDEX (the documented shadowing trap)
-        return lambda i: F.xxhash64(F.slice(F.col("__th__"), i + 1, n))
+        return lambda i: F.xxhash64(F.slice(th, i + 1, n))
 
-    for n in ns:
-        grams = F.transform(F.sequence(F.lit(0), F.size("__th__") - n), gram_hash(n))
-        frac = F.when(
-            F.size("__th__") < n, F.lit(0.0)
-        ).otherwise(1.0 - F.size(F.array_distinct(grams)) / F.size(grams))
-        cols.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
-    return thd.select(id_col, *cols)
+    def with_th(th):
+        fields = [F.size(th).cast("long").alias("n_tokens")]
+        for n in ns:
+            grams = F.transform(
+                F.sequence(F.lit(0), F.size(th) - n), gram_hash(th, n)
+            )
+            frac = bind_once(
+                grams,
+                lambda g: 1.0 - F.size(F.array_distinct(g)) / F.size(g),
+            )
+            fields.append(
+                F.round(
+                    F.when(F.size(th) < n, F.lit(0.0)).otherwise(frac), 6
+                ).alias(f"dup_{n}gram_frac")
+            )
+        return F.struct(*fields)
+
+    row = bind_once(
+        F.transform("__toks__", lambda t: F.xxhash64(t)), with_th
+    )
+    return tokd.select(id_col, F.inline(F.array(row)))

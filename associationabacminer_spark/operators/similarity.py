@@ -340,27 +340,54 @@ def embedding_near_dup_pairs_banded(
         ids = bits.astype(np.int64) @ weights
         return pd.Series(list(ids))
 
-    # candidates carry IDS ONLY through the band join + dedup — clustered
-    # data puts whole clusters in one bucket, so candidate volume is the
-    # cost center and every extra byte per pair multiplies the shuffle
+    # candidates carry IDS ONLY through the band grouping + dedup —
+    # clustered data puts whole clusters in one bucket, so candidate
+    # volume is the cost center and every extra byte per pair multiplies
+    # the shuffle.  Round 6: pairs come from a single groupBy bucket
+    # (the lsh_candidate_pairs shape) instead of a two-sided self-join —
+    # the join evaluated the Python banding UDF twice (two Arrow round
+    # trips over every vector) and shuffled the banded table twice.
+    # The window count drops singleton buckets before any collect_list
+    # and establishes exactly the partitioning the groupBy needs.
+    from pyspark.sql import Window
+
     keyed = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(band_bucket_ids(F.col(vec_col))).alias("band", "bucket"),
     )
-    a = keyed.select(F.col("vid").alias("id_a"), "band", "bucket")
-    b = keyed.select(F.col("vid").alias("id_b"), "band", "bucket")
+    w = Window.partitionBy("band", "bucket")
+    filtered = keyed.withColumn("n", F.count("*").over(w)).filter(F.col("n") > 1)
+    buckets = filtered.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("vid")).alias("ids")
+    )
+    e1 = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
     cands = (
-        a.join(b, ["band", "bucket"])
+        e1.select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-doc norms precomputed map-side: norm() is an interpreted
+    # higher-order aggregate, so paying it once per DOC instead of once
+    # per PAIR cuts the re-check cost ~3x on clustered candidates.
+    # cos = dot/(na*nb) is the same expression tree as cosine() —
+    # bit-identical values, same rounding.
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
