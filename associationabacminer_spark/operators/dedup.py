@@ -229,18 +229,28 @@ def minhash_signatures(
     shuffle at 59M docs — to compute byte-identical values; the round-4
     rewrite removed it.  Docs with no shingles are dropped, matching the
     old explode semantics.)"""
+    from associationabacminer_spark.functions.text import bind_once
+
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    def perm_min(i: int):
+
+    def perm_min(sh, i: int):
         # NB: the lambda must take exactly one arg — pyspark treats a
         # two-arg transform lambda as (element, index) and would shadow
         # the permutation seed with the array index
         seed = F.lit(i)
-        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, seed)))
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed)))
 
-    sig = F.array(*[perm_min(i) for i in range(num_perm)])
+    # bind the shingle array once: the signature references it num_perm
+    # times, and the optimizer's project collapse would otherwise
+    # re-build the n-gram string array once PER PERMUTATION (the
+    # round-6 bind_once trap; values are unchanged)
+    sig = bind_once(
+        F.col("shingles"),
+        lambda sh: F.array(*[perm_min(sh, i) for i in range(num_perm)]),
+    )
     return shingled.select("doc_id", sig.alias("sig"))
 
 

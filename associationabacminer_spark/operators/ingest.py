@@ -85,6 +85,11 @@ def dedup_store_build(
     text get an exact digest but no signature (no shingles, no
     meaningful Jaccard — mirrors minhash_signatures_oph's narrow
     base-column filter)."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — "
+            "tail signature slots would silently drop out of every band"
+        )
     exact = df.select(F.md5(F.col(text_col)).alias("digest")).distinct()
     # persist: ``sigs`` and ``bands`` are two store tables derived from
     # the same OPH map — without it a consumer touching both (the ingest
@@ -165,6 +170,15 @@ def incremental_ingest(
     whole upstream pipeline per branch (the same re-use pattern as the
     components and set-cover loops).  Returns the surviving batch rows
     with their original columns."""
+    if num_perm % bands:
+        # a non-divisible split would silently exclude the tail
+        # signature slots from every band key, weakening candidate
+        # recall with no diagnostic (mirrors the power-of-two check in
+        # minhash_signatures_oph)
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — "
+            "tail signature slots would silently drop out of every band"
+        )
     rows_per_band = num_perm // bands
 
     # (1) + (2): exact, within then versus history.  The anti-join key is
@@ -249,25 +263,103 @@ _STORE_SCHEMAS = {
 }
 
 
-def dedup_store_write(store: dict[str, DataFrame], store_dir: str) -> None:
+_PARAM_KEYS = ("num_perm", "bands", "n", "densify")
+
+
+def store_params(
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_NGRAM,
+    densify: str = DEFAULT_DENSIFY,
+) -> dict:
+    return {"num_perm": num_perm, "bands": bands, "n": n, "densify": densify}
+
+
+def _check_store_params(store_dir: str, params: dict | None, write: bool) -> None:
+    """Validate (and optionally record) the signature parameters a store
+    was built with.  Signatures from different num_perm/bands/n/densify
+    are silently incomparable — zip_with over different-length sig
+    arrays pads with null and agreement underestimates — so a parameter
+    drift must fail fast, not degrade."""
+    import json
+    import os
+
+    if params is None:
+        return
+    path = os.path.join(store_dir, "params.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        mismatched = {
+            k: (existing.get(k), params[k])
+            for k in _PARAM_KEYS
+            if existing.get(k) != params[k]
+        }
+        if mismatched:
+            raise ValueError(
+                f"dedup store at {store_dir} was built with different "
+                f"signature parameters: {mismatched} (stored, requested) — "
+                "signatures across parameter sets are incomparable; "
+                "rebuild the store or match its parameters"
+            )
+    elif write:
+        os.makedirs(store_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: params[k] for k in _PARAM_KEYS}, f)
+        os.replace(tmp, path)
+
+
+def dedup_store_write(
+    store: dict[str, DataFrame], store_dir: str, params: dict | None = None
+) -> None:
     """Append the store tables under ``store_dir/{exact,sigs,bands}``.
     Append-only by design — an ingest delta never rewrites history; write
     the band table through sources/layout.py (sorted by band_hash) when
-    probe-side pruning matters."""
+    probe-side pruning matters.  Pass ``params`` (:func:`store_params`)
+    to record the signature parameters in ``params.json`` on first write
+    and fail fast on a mismatch afterwards; callers composing the
+    DataFrame-level API directly own that consistency when omitting it."""
+    _check_store_params(store_dir, params, write=True)
     for k in STORE_TABLES:
         store[k].write.mode("append").parquet(f"{store_dir}/{k}")
 
 
-def dedup_store_read(spark, store_dir: str) -> dict[str, DataFrame]:
+def dedup_store_read(
+    spark, store_dir: str, params: dict | None = None
+) -> dict[str, DataFrame]:
     """Load the store tables; a missing table (fresh store) reads as
     empty with the canonical schema, so the first ingest against a new
-    store needs no special-casing."""
+    store needs no special-casing.
+
+    Only the path-does-not-exist AnalysisException is treated as a
+    fresh table — any OTHER read failure (corrupt parquet, permissions,
+    transient FS error) raises instead of silently reading an empty
+    store and re-admitting the whole historical corpus as new.  A
+    leftover ``<table>__old`` with no ``<table>`` (a compaction crash
+    mid-swap) is restored first, completing dedup_store_compact's
+    park-then-swap contract.  ``params`` (optional) validates
+    ``params.json`` as in :func:`dedup_store_write`."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    _check_store_params(store_dir, params, write=False)
     out: dict[str, DataFrame] = {}
     for k in STORE_TABLES:
+        dst = f"{store_dir}/{k}"
+        old = f"{dst}__old"
+        if not os.path.exists(dst) and os.path.exists(old):
+            # compaction parked the original and crashed before swapping
+            # the replacement in — restore rather than read as empty
+            os.rename(old, dst)
         try:
-            out[k] = spark.read.parquet(f"{store_dir}/{k}")
-        except Exception:
-            out[k] = spark.createDataFrame([], _STORE_SCHEMAS[k])
+            out[k] = spark.read.parquet(dst)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                out[k] = spark.createDataFrame([], _STORE_SCHEMAS[k])
+            else:
+                raise
     return out
 
 
@@ -294,33 +386,50 @@ def streaming_ingest_fold(
     accepted docs — the streaming twin of the batch daily-crawl loop,
     with the same seen/accepted store semantics.
 
-    Replay safety: survivors land at ``sink_dir/epoch=<id>`` with
-    mode=overwrite (idempotent per epoch — the standard foreachBatch
-    recipe), THEN the delta appends to the store.  A crash between the
-    two replays the epoch: the sink overwrite is byte-identical, and
-    the delta append may duplicate digests — harmless under seen-set
-    membership semantics (dedup_store_append's documented contract)."""
+    Replay safety: an epoch whose ``sink_dir/epoch=<id>/_SUCCESS``
+    already exists is NOT recomputed — its committed survivors are
+    re-read from the sink and only the store delta is (re)appended.
+    Without that guard, a crash after the store delta append but before
+    Structured Streaming commits the epoch offsets would replay the
+    epoch against a store that already contains every batch digest:
+    incremental_ingest returns zero survivors and the overwrite would
+    ERASE the epoch's committed output, unrecoverable because the seen
+    set blocks re-admission.  A replayed delta append may duplicate
+    rows — harmless under seen-set membership semantics and compacted
+    away by ``dedup_store_compact`` (dedup_store_append's documented
+    contract).  The store's ``params.json`` manifest is written on the
+    first epoch and validated on every one."""
+    params = store_params(num_perm=num_perm, bands=bands, n=n, densify=densify)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
-        store = dedup_store_read(spark, store_dir)
-        surv = incremental_ingest(
-            batch_df,
-            store,
-            text_col,
-            id_col,
-            num_perm=num_perm,
-            bands=bands,
-            n=n,
-            threshold=threshold,
-            densify=densify,
-        ).localCheckpoint()
-        surv.write.mode("overwrite").parquet(f"{sink_dir}/epoch={epoch_id}")
+        sink = f"{sink_dir}/epoch={epoch_id}"
+        if os.path.exists(os.path.join(sink, "_SUCCESS")):
+            # epoch output already committed on a prior attempt: the
+            # survivor set is final — never re-derive it from a store
+            # the prior attempt may already have mutated
+            surv = spark.read.parquet(sink)
+        else:
+            store = dedup_store_read(spark, store_dir, params=params)
+            surv = incremental_ingest(
+                batch_df,
+                store,
+                text_col,
+                id_col,
+                num_perm=num_perm,
+                bands=bands,
+                n=n,
+                threshold=threshold,
+                densify=densify,
+            ).localCheckpoint()
+            surv.write.mode("overwrite").parquet(sink)
         delta = ingest_delta(
             batch_df, surv, text_col, id_col,
             num_perm=num_perm, bands=bands, n=n, densify=densify,
         )
-        dedup_store_write(delta, store_dir)
+        dedup_store_write(delta, store_dir, params=params)
 
     return fold
 

@@ -310,7 +310,13 @@ def decode_media(df: DataFrame, strict: bool = False, codec: str = "fake") -> Da
                 }
             )
 
-    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+    # ship ONLY the columns the decoder touches across the Arrow
+    # boundary — Spark cannot see inside the Python function, so an
+    # un-projected mapInPandas would serialize every input column
+    # (e.g. the meta struct) per row for nothing (guide §4 rule)
+    return df.select("media_id", "payload", "media_type").mapInPandas(
+        decode, schema=DECODED_SCHEMA
+    )
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:

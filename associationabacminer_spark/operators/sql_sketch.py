@@ -611,9 +611,13 @@ def percentile_by_group(
     pct = F.when(
         F.col("__tot") > 1, F.col("__below") / (F.col("__tot") - F.lit(1))
     ).otherwise(F.lit(0.0))
+    # no broadcast hint: occupied bins per group reach ~log1p(max)/
+    # rel_width (~40k at the default 5e-4), so a high-cardinality group
+    # column can push the bin table past broadcast limits — let the
+    # planner decide from its size estimate instead of forcing it
     return (
         facts.join(
-            F.broadcast(ranked.select(*group_cols, "__bin", "__below", "__tot")),
+            ranked.select(*group_cols, "__bin", "__below", "__tot"),
             [*group_cols, "__bin"],
         )
         .withColumn(out_col, pct)

@@ -999,12 +999,22 @@ def q40(spark, sf_dir):
         [SketchSpec("kll", lambda: KLL(k=200), "value", kernel_cls=KLL)],
     )
     kll = ks["kll"]
-    n = ev.count()
+    qs = (0.1, 0.5, 0.9, 0.99)
+    vals = {q: kll.quantile(q) for q in qs}
+    # ONE aggregate job for the exact rank brackets of every quantile
+    # (was 1 + 2-per-quantile sequential count jobs); count(when(..))
+    # excludes nulls exactly like the filter().count() it replaces
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, q in enumerate(qs):
+        v = float(vals[q])
+        aggs.append(F.count(F.when(F.col("value") < v, 1)).alias(f"lo{i}"))
+        aggs.append(F.count(F.when(F.col("value") <= v, 1)).alias(f"hi{i}"))
+    r = ev.agg(*aggs).first()
+    n = r["n"]
     rows = []
-    for q in (0.1, 0.5, 0.9, 0.99):
-        v = kll.quantile(q)
-        lo = ev.filter(F.col("value") < v).count() / n
-        hi = ev.filter(F.col("value") <= v).count() / n
+    for i, q in enumerate(qs):
+        v = vals[q]
+        lo, hi = r[f"lo{i}"] / n, r[f"hi{i}"] / n
         tol = 2 * kll.rank_error + 0.005
         ok = (lo - tol) <= q <= (hi + tol)
         rows.append((f"kll_q{q}", float(v), float((lo + hi) / 2), tol, bool(ok)))
@@ -1029,12 +1039,19 @@ def q41(spark, sf_dir):
         [SketchSpec("td", lambda: TDigest(delta=200), "latency_s", kernel_cls=TDigest)],
     )
     td = ks["td"]
-    n = lat.count()
+    qs = (0.5, 0.99)
+    vals = {q: td.quantile(q) for q in qs}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, q in enumerate(qs):
+        v = float(vals[q])
+        aggs.append(F.count(F.when(F.col("latency_s") < v, 1)).alias(f"lo{i}"))
+        aggs.append(F.count(F.when(F.col("latency_s") <= v, 1)).alias(f"hi{i}"))
+    r = lat.agg(*aggs).first()
+    n = r["n"]
     rows = []
-    for q in (0.5, 0.99):
-        v = td.quantile(q)
-        lo = lat.filter(F.col("latency_s") < v).count() / n
-        hi = lat.filter(F.col("latency_s") <= v).count() / n
+    for i, q in enumerate(qs):
+        v = vals[q]
+        lo, hi = r[f"lo{i}"] / n, r[f"hi{i}"] / n
         ok = (lo - 0.02) <= q <= (hi + 0.02)
         rows.append((f"td_latency_q{q}", float(v), float((lo + hi) / 2), 0.02, bool(ok)))
     lat.unpersist()
@@ -1048,7 +1065,12 @@ def q42(spark, sf_dir):
     import numpy as np
 
     ev = _t(spark, sf_dir, "events")
-    n_users = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    # one distinct-collect supplies both the capacity (its length) and
+    # the membership probe keys (was a separate countDistinct job)
+    present = [
+        int(r["user_id"]) for r in ev.select("user_id").distinct().collect()
+    ]
+    n_users = len(present)
     from associationabacminer_spark.sketch.xxhash import xxh64_keys
 
     ks = sketch_aggregate(
@@ -1064,7 +1086,6 @@ def q42(spark, sf_dir):
         ],
     )
     bloom = ks["bloom"]
-    present = [int(r["user_id"]) for r in ev.select("user_id").distinct().collect()]
     absent = list(range(10_000_000, 10_020_000))  # ids outside the domain
     fn_rate = float(1.0 - bloom.contains(xxh64_keys(present), prehashed=True).mean())
     fp_rate = float(bloom.contains(xxh64_keys(absent), prehashed=True).mean())
@@ -1752,14 +1773,24 @@ def q61(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events")
-    m = ev.filter(F.col("event_type").isin("view", "click"))
-    ale = m.count()
-    ule = m.select("user_id", "event_type").distinct().count()
-    au = m.select("user_id").distinct().count()
-    ao = m.select("event_type").distinct().count()
-    n_total = ev.count()
-    tu = ev.select("user_id").distinct().count()
-    te = ev.select("event_type").distinct().count()
+    # ONE aggregate job for all seven exact counts (the previous seven
+    # sequential actions each paid a full scan + job round-trip).
+    # Distinct counts are struct-wrapped so null-bearing tuples count as
+    # values, exactly like the .distinct().count() they replace.
+    cond = F.col("event_type").isin("view", "click")
+    r = ev.agg(
+        F.count(F.when(cond, F.lit(1))).alias("ale"),
+        F.countDistinct(
+            F.when(cond, F.struct("user_id", "event_type"))
+        ).alias("ule"),
+        F.countDistinct(F.when(cond, F.struct("user_id"))).alias("au"),
+        F.countDistinct(F.when(cond, F.struct("event_type"))).alias("ao"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct(F.struct("user_id")).alias("tu"),
+        F.countDistinct(F.struct("event_type")).alias("te"),
+    ).first()
+    ale, ule, au, ao = r["ale"], r["ule"], r["au"], r["ao"]
+    n_total, tu, te = r["n_total"], r["tu"], r["te"]
     suite = metric_suite(
         unique_log_entries=ule,
         all_log_entries=ale,

@@ -3583,3 +3583,145 @@ class TestStoreCompaction:
             ).collect()
         )
         assert before == after == [101]
+
+
+class TestIngestStoreSafety:
+    """Round-6 hardening of the persisted-store lifecycle: epoch replay
+    idempotence, narrow read-failure handling, compaction crash
+    recovery, a parameter manifest, and the bands-divisibility guard."""
+
+    SCHEMA = "doc_id long, text string"
+
+    def _batch(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "first crawl document about rivers and banks and foxes"),
+                (2, "second crawl document covering spark plans and operators"),
+                (3, "second crawl document covering spark plans and operators"),
+            ],
+            self.SCHEMA,
+        )
+
+    def test_epoch_replay_after_full_commit_keeps_survivors(self, spark, tmp_path):
+        """The ADVICE hole: a crash AFTER the store delta append but
+        BEFORE the stream commits offsets replays the epoch against a
+        store that already holds every batch digest — zero survivors,
+        and the overwrite erased the committed output.  The fold now
+        skips recomputation when the epoch's _SUCCESS exists."""
+        from associationabacminer_spark.operators.ingest import (
+            streaming_ingest_fold,
+        )
+
+        store_dir = str(tmp_path / "store")
+        sink_dir = str(tmp_path / "sink")
+        fold = streaming_ingest_fold(store_dir, sink_dir, "text", "doc_id")
+        fold(self._batch(spark), 0)
+        first = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{sink_dir}/epoch=0").collect()
+        )
+        assert first == [1, 2]  # within-batch exact dup dropped
+        # replay the SAME epoch (post-append crash window)
+        fold(self._batch(spark), 0)
+        replay = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{sink_dir}/epoch=0").collect()
+        )
+        assert replay == first  # NOT erased to []
+
+    def test_store_read_raises_on_corrupt_table(self, spark, tmp_path):
+        """Only path-does-not-exist reads as an empty (fresh) table; a
+        corrupt table must raise instead of re-admitting the corpus."""
+        import pytest
+
+        from associationabacminer_spark.operators.ingest import (
+            dedup_store_build,
+            dedup_store_read,
+            dedup_store_write,
+        )
+
+        store_dir = str(tmp_path / "store")
+        dedup_store_write(
+            dedup_store_build(self._batch(spark), "text", "doc_id"), store_dir
+        )
+        # clobber the exact table with a non-parquet file
+        import shutil
+
+        shutil.rmtree(f"{store_dir}/exact")
+        import os
+
+        os.makedirs(f"{store_dir}/exact")
+        with open(f"{store_dir}/exact/garbage.parquet", "w") as f:
+            f.write("this is not parquet")
+        with pytest.raises(Exception):
+            dedup_store_read(spark, store_dir)["exact"].count()
+        # a genuinely missing table still reads as empty
+        shutil.rmtree(f"{store_dir}/exact")
+        assert dedup_store_read(spark, store_dir)["exact"].count() == 0
+
+    def test_store_read_restores_parked_old_table(self, spark, tmp_path):
+        """A compaction crash between park and swap leaves <table>__old
+        with no <table>; the read must restore it, not return empty."""
+        import os
+
+        from associationabacminer_spark.operators.ingest import (
+            dedup_store_build,
+            dedup_store_read,
+            dedup_store_write,
+        )
+
+        store_dir = str(tmp_path / "store")
+        dedup_store_write(
+            dedup_store_build(self._batch(spark), "text", "doc_id"), store_dir
+        )
+        os.rename(f"{store_dir}/exact", f"{store_dir}/exact__old")
+        store = dedup_store_read(spark, store_dir)
+        assert store["exact"].count() == 2  # restored, not empty
+        assert os.path.exists(f"{store_dir}/exact")
+
+    def test_params_manifest_fails_fast_on_mismatch(self, spark, tmp_path):
+        import pytest
+
+        from associationabacminer_spark.operators.ingest import (
+            dedup_store_build,
+            dedup_store_read,
+            dedup_store_write,
+            store_params,
+        )
+
+        store_dir = str(tmp_path / "store")
+        dedup_store_write(
+            dedup_store_build(self._batch(spark), "text", "doc_id"),
+            store_dir,
+            params=store_params(),
+        )
+        # same params: fine
+        dedup_store_read(spark, store_dir, params=store_params())
+        # drifted num_perm: must raise, not silently under-probe
+        with pytest.raises(ValueError, match="different"):
+            dedup_store_read(
+                spark, store_dir, params=store_params(num_perm=64)
+            )
+        with pytest.raises(ValueError, match="different"):
+            dedup_store_write(
+                dedup_store_build(
+                    self._batch(spark), "text", "doc_id", densify="minrehash"
+                ),
+                store_dir,
+                params=store_params(densify="minrehash"),
+            )
+
+    def test_bands_must_divide_num_perm(self, spark):
+        import pytest
+
+        from associationabacminer_spark.operators.ingest import (
+            dedup_store_build,
+            incremental_ingest,
+        )
+
+        batch = self._batch(spark)
+        store = dedup_store_build(batch, "text", "doc_id")
+        with pytest.raises(ValueError, match="divide"):
+            incremental_ingest(batch, store, "text", "doc_id", bands=5)
+        with pytest.raises(ValueError, match="divide"):
+            dedup_store_build(batch, "text", "doc_id", bands=7)
