@@ -44,18 +44,23 @@ def _canonical(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to u's minimum.
 
-    Operates on the symmetric view so Γ(u) is complete; emits (v, m) for
-    v ∈ Γ(u), v > u, with m = min(Γ(u) ∪ {u})."""
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    Emits (v, m) for v ∈ Γ(u), v > u, with m = min(Γ(u) ∪ {u}).
+    REQUIRES (hi, lo)-oriented input (src > dst — what ``_canonical``
+    produces each round).  Round 6: no symmetric doubling — since u
+    itself is in the min, a LARGER neighbor can never be the minimum,
+    so m(u) = least(min of u's smaller neighbors, u), computable from
+    the oriented edges directly: the groupBy and the join each move
+    half the rows the sym-view formulation shuffled.  The pairs
+    (u, v > u) are exactly the oriented edges read as (src=v, dst=u);
+    a node with no smaller neighbor keeps itself via the left join's
+    coalesce."""
     mins = (
-        sym.groupBy("src")
+        edges.groupBy("src")
         .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", "src").alias("m"))
+        .select(F.col("src").alias("dst"), F.least("mn", "dst").alias("m"))
     )
-    return (
-        sym.filter(F.col("dst") > F.col("src"))
-        .join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    return edges.join(mins, "dst", "left").select(
+        "src", F.coalesce("m", "dst").alias("dst")
     )
 
 

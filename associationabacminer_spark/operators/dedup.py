@@ -31,11 +31,26 @@ from associationabacminer_spark.functions.text import (
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one row per distinct content (min id wins, deterministic).
     The content key is md5(text) so comparison cost is O(digest), like
-    the reference's sha1 _id."""
-    keyed = df.withColumn("__digest__", F.md5(F.col(text_col)))
-    winners = keyed.groupBy("__digest__").agg(F.min(id_col).alias(id_col))
+    the reference's sha1 _id.
+
+    Round 6: ONE ``min_by`` hash aggregate (map-side partial) instead of
+    groupBy-min + semi-join — the join formulation referenced ``df``
+    twice, so an upstream pipeline (q9l's batch is itself a join) was
+    evaluated and shuffled twice for the same winners.  Null-id and
+    null-text rows are filtered first, reproducing the old semantics
+    exactly: the semi-join's null-safe-less equality dropped any row
+    whose digest (null text) or id was null — without the text filter
+    the aggregate would emit one winner for the null-digest group that
+    the old path (and the q9l oracle's NOT IN) never produced, caught
+    by the round-6 sf0.1 sweep."""
+    rows = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    winner = F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col))
     return (
-        keyed.join(winners, ["__digest__", id_col], "left_semi").drop("__digest__")
+        rows.groupBy(F.md5(F.col(text_col)).alias("__digest__"))
+        .agg(winner.alias("__r__"))
+        .select(*[F.col(f"__r__.{c}").alias(c) for c in df.columns])
     )
 
 
