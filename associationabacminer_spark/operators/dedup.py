@@ -895,13 +895,18 @@ def _span_islands(
     from pyspark.sql import Window
 
     wins = _window_fingerprint_rows(df, text_col, id_col, k)
-    dup_fps = (
-        wins.groupBy("fp")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
-        .select("fp")
+    # duplicated-fingerprint filter as a WINDOW count over fp (the
+    # lsh_candidate_pairs pattern): the groupBy + semi-join formulation
+    # referenced ``wins`` twice, re-running the tokenize/fingerprint
+    # scan over the whole corpus a second time and paying a broadcast
+    # build; the window shuffles the (id, s, fp) rows once on the
+    # uniform 8-byte fp key instead (round 6, §2.4)
+    wf = Window.partitionBy("fp")
+    hits = (
+        wins.withColumn("__n__", F.count("*").over(wf))
+        .filter(F.col("__n__") >= min_count)
+        .drop("__n__")
     )
-    hits = wins.join(dup_fps, "fp", "left_semi")
     w = Window.partitionBy(id_col).orderBy("s")
     return (
         hits.withColumn("prev_s", F.lag("s").over(w))

@@ -173,18 +173,18 @@ def bloom_word_table(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
     pos_i = (pmod(h1,m) + i*pmod(h2|1,m)) mod m) -> word grouping with a
     ``bit_or`` aggregate.  At most m/64 rows leave the cluster."""
     m = int(m_bits)
-    # hash BEFORE the distinct: the exchange then carries two int64s per
-    # row instead of the raw key bytes, and distinct-on-hash-pair equals
-    # distinct-on-key up to 128-bit collisions.  lit must be BIGINT:
-    # Spark hashes IntegerType as 4 bytes, and the driver-side twin
-    # (xxh64_pair_keys) chains an 8-byte long.
-    keys = (
-        df.filter(F.col(col).isNotNull())
-        .select(
-            F.xxhash64(col).alias("h1r"),
-            F.xxhash64(col, F.lit(1).cast("long")).alias("h2r"),
-        )
-        .distinct()
+    # NO distinct before the probes: Bloom insertion is idempotent (the
+    # bit_or absorbs duplicate keys), so deduplicating first bought
+    # nothing except a full exchange of every (h1, h2) pair — ~950 MB at
+    # the 59M-turn rung.  Probing duplicates costs only map-side codegen
+    # arithmetic; the partial bit_or collapses each task's output to at
+    # most m/64 word rows before the single remaining exchange (round 6,
+    # guide §2.4).  lit must be BIGINT: Spark hashes IntegerType as
+    # 4 bytes, and the driver-side twin (xxh64_pair_keys) chains an
+    # 8-byte long.
+    keys = df.filter(F.col(col).isNotNull()).select(
+        F.xxhash64(col).alias("h1r"),
+        F.xxhash64(col, F.lit(1).cast("long")).alias("h2r"),
     )
     h1 = F.pmod(F.col("h1r"), F.lit(m))
     h2 = F.pmod(F.col("h2r").bitwiseOR(F.lit(1)), F.lit(m))

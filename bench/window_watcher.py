@@ -73,6 +73,17 @@ STEPS = [
         ],
         "timeout": 1200,
     },
+    # round 6: a clean scaling PASS on round-6 code (VERDICT item 6) —
+    # appends its row to BENCH/BASELINE.md on success
+    {
+        "name": "scaling_59M_r06",
+        "cmd": [
+            sys.executable, os.path.join(REPO, "bench", "run_scaling.py"),
+            "--convs", "6000000", "--n", "2", "--repeats", "2",
+            "--data", os.path.join(SYNTH, "scaling_59M"),
+        ],
+        "timeout": 3000,
+    },
 ]
 
 
