@@ -404,25 +404,43 @@ def minhash_signatures_oph(
                 # fixed by (b, attempt) and identical for every doc —
                 # two docs empty at b follow the same walk, so the
                 # copied slot collides with probability J like any
-                # occupied slot.  Vectorized: one (nb,)-donor vector per
-                # attempt, boolean-masked gather across all rows.
+                # occupied slot.
+                #
+                # Round 6: the walk iterates over SPARSE (row, bucket)
+                # coordinates instead of full (rows x nb) matrices.  The
+                # matrix formulation re-scanned and re-allocated every
+                # cell once per attempt, and short docs (few filled
+                # buckets -> donor hit probability k/nb per attempt)
+                # need ~nb/k attempts — measured 149.6 s vs min-rehash's
+                # 16.8 s for the whole 12M-doc signature stage.  The
+                # pair list shrinks geometrically as buckets fill, and
+                # donor values are always ORIGINAL minima (a donor must
+                # be filled0, and filled0 buckets are never overwritten)
+                # so the copied values are identical to the matrix walk.
                 filled0 = ~empty
-                need = empty.copy()
-                bidx = np.arange(nb, dtype=np.uint64)
+                r_need, b_need = np.nonzero(empty)
                 step = np.uint64(0x9E3779B97F4A7C15)
                 attempt = 0
-                while need.any() and attempt < 256:
+                while r_need.size and attempt < 256:
                     attempt += 1
                     donors = (
-                        splitmix64(bidx ^ (np.uint64(attempt) * step))
+                        splitmix64(
+                            b_need.astype(np.uint64)
+                            ^ (np.uint64(attempt) * step)
+                        )
                         % np.uint64(nb)
                     ).astype(np.int64)
-                    ok = need & filled0[:, donors]
+                    ok = filled0[r_need, donors]
                     if ok.any():
-                        sig = np.where(ok, sig[:, donors], sig)
-                        need &= ~ok
-                empty = need  # stragglers (pathological sparsity) fall
-                # through to the min-rehash fill below
+                        sig[r_need[ok], b_need[ok]] = sig[
+                            r_need[ok], donors[ok]
+                        ]
+                        keepm = ~ok
+                        r_need, b_need = r_need[keepm], b_need[keepm]
+                # stragglers (pathological sparsity) fall through to the
+                # min-rehash fill below
+                empty = np.zeros_like(empty)
+                empty[r_need, b_need] = True
             fills = splitmix64(
                 gmin[:, None] ^ (np.arange(nb, dtype=np.uint64)[None, :])
             )

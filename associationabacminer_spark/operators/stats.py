@@ -42,18 +42,41 @@ def low_variance_columns(
     """Categorical 'variance threshold' (E1): columns whose dominant value
     covers >= (1 - threshold) of rows — the reference's constant-column
     elimination generalized (/root/reference/src/TableCreator.py:124-128).
-    One aggregation pass over all columns."""
-    n = df.count()
-    if n == 0:
+
+    Round 6: genuinely ONE aggregation pass — the columns are melted to
+    (col_name, value) rows map-side (the q91 stack shape) and a single
+    two-level aggregate yields every column's dominant share; the
+    previous implementation ran a count job PLUS one groupBy job per
+    column.  Values are compared as strings (injective for atomic
+    types within a column); sum(cnt) equals the row count because the
+    null group participates."""
+    if not cols:
+        return []
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__m__")
+    ).select("__m__.col_name", "__m__.value")
+    counts = melted.groupBy("col_name", "value").agg(F.count("*").alias("cnt"))
+    shares = {
+        r["col_name"]: (r["top"], r["n"])
+        for r in counts.groupBy("col_name")
+        .agg(F.max("cnt").alias("top"), F.sum("cnt").alias("n"))
+        .collect()
+    }
+    if not shares:  # empty input: every column is constant-by-vacuity
         return list(cols)
-    out = []
-    for c in cols:
-        top = (
-            df.groupBy(c).agg(F.count("*").alias("cnt")).agg(F.max("cnt")).collect()[0][0]
-        )
-        if top / n >= 1.0 - threshold:
-            out.append(c)
-    return out
+    return [
+        c for c in cols if shares[c][0] / shares[c][1] >= 1.0 - threshold
+    ]
 
 
 def pearson_correlation(df: DataFrame, cols: list[str]) -> list[list[float]]:

@@ -38,13 +38,23 @@ def tfidf_top_terms(
     k: int = 3,
 ) -> DataFrame:
     """Top-k terms per document by tf * ln(N / df); deterministic
-    (rounded-score, then token) ordering."""
-    n_docs = df.count()
+    (rounded-score, then token) ordering.
+
+    N rides along as a broadcast single-row cross join instead of a
+    blocking ``df.count()`` driver job (round 6): the whole query is one
+    action, and long/long division yields the same double the Python
+    float literal produced."""
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n__"))
     terms = doc_terms(df, text_col, id_col)
     docfreq = terms.groupBy("token").agg(F.count("*").alias("df"))
-    scored = terms.join(docfreq, "token").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    scored = (
+        terms.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n__") / F.col("df")), 6),
+        )
+        .drop("__n__")
     )
     w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
