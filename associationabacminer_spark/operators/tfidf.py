@@ -40,21 +40,17 @@ def tfidf_top_terms(
     """Top-k terms per document by tf * ln(N / df); deterministic
     (rounded-score, then token) ordering.
 
-    N rides along as a broadcast single-row cross join instead of a
-    blocking ``df.count()`` driver job (round 6): the whole query is one
-    action, and long/long division yields the same double the Python
-    float literal produced."""
-    n_docs = df.agg(F.count(F.lit(1)).alias("__n__"))
+    N stays a driver-side ``df.count()`` deliberately: a round-6 attempt
+    to ride it along as a broadcast scalar planned as
+    BroadcastNestedLoopJoin either way (Catalyst constant-folds a
+    literal join key and degrades the equi-join), which the scale plan
+    tests forbid — one tiny count job beats an NLJ in the plan."""
+    n_docs = df.count()
     terms = doc_terms(df, text_col, id_col)
     docfreq = terms.groupBy("token").agg(F.count("*").alias("df"))
-    scored = (
-        terms.join(docfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.log(F.col("__n__") / F.col("df")), 6),
-        )
-        .drop("__n__")
+    scored = terms.join(docfreq, "token").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
     )
     w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
