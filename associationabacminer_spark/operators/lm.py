@@ -205,12 +205,16 @@ def dsir_logratio(
             "model corpus has no bigrams (no doc with >= 2 tokens) — "
             "cannot train a bigram model"
         )
+    # merge the two models' tables MODEL-SIDE (vocab-bounded, cheap) so
+    # the big document bigram stream pays TWO lookups instead of four —
+    # the full-outer merges keep every (hp, hw) / hp either model knows,
+    # and _nll already coalesces the missing side to 0 (round 6)
+    bm = bt.join(br, ["hp", "hw"], "full")
+    cm = ct.join(cr, ["hp"], "full")
     dp = _bigram_rows(df, text_col, id_col)
     scored = (
-        dp.join(br, ["hp", "hw"], "left")
-        .join(cr, ["hp"], "left")
-        .join(bt, ["hp", "hw"], "left")
-        .join(ct, ["hp"], "left")
+        dp.join(bm, ["hp", "hw"], "left")
+        .join(cm, ["hp"], "left")
         .withColumn("__nll_r__", _nll("cb_r", "cu_r", add_k, vr))
         .withColumn("__nll_t__", _nll("cb_t", "cu_t", add_k, vt))
     )
