@@ -183,6 +183,12 @@ def ngram_containment_pairs(
     the reason this operator exists beside minhash_lsh_dedup rather
     than as a re-check mode of it.)
 
+    Default note: like :func:`ngram_jaccard_pairs`, ``max_shingle_df``
+    defaults to ``None`` (exact parity, the oracle path) whereas
+    :func:`minhash_lsh_dedup` defaults its analogous hot-bucket cap
+    ``max_bucket_size`` to 4096 — at corpus scale pass an explicit cap
+    here too (the q9m query and the COOKBOOK recipes use 3-4096).
+
     Round 6: hashed shingles + candidate-only array rebuild, exactly as
     in :func:`ngram_jaccard_pairs` (same collision trade)."""
     sh = word_ngram_hash_arrays(
