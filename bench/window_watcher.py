@@ -51,6 +51,9 @@ STEPS = [
             "ingest", "--input", os.path.join(SYNTH, "scaling_12M"),
             "--out", os.path.join(SYNTH, "stage_probe_r05b.jsonl"),
         ],
+        # the 12M store build OOMs the default 8g heap (round-6 reading
+        # used 24g; see .synth/stage_probe_r06.jsonl)
+        "env": {"SPARK_DRIVER_MEM": "24g"},
         "timeout": 1800,
     },
     {
@@ -151,7 +154,8 @@ def main() -> None:
             try:
                 rc = subprocess.run(
                     step["cmd"], stdout=lf, stderr=subprocess.STDOUT,
-                    env=ENV, timeout=step["timeout"], cwd=REPO,
+                    env=dict(ENV, **step.get("env", {})),
+                    timeout=step["timeout"], cwd=REPO,
                 ).returncode
             except subprocess.TimeoutExpired:
                 rc = -9
