@@ -23,6 +23,19 @@ is O(corpus) per batch; this module makes it O(batch + matching keys):
   must retain historical text and re-run the batch through
   :func:`~associationabacminer_spark.operators.dedup.minhash_lsh_dedup`
   on the union — the trade this module exists to avoid.
+
+  CONTAINMENT GAP (out of this store's contract): signature-slot
+  agreement estimates JACCARD, which extreme size asymmetry drives
+  toward 0 — a quoted/syndicated/boilerplate-wrapped near-copy of an
+  ACCEPTED doc (containment ~1, Jaccard ~ |quote|/|page|) sails through
+  the store probe and is admitted.  Within one batch the asymmetric
+  case is covered by
+  :func:`~associationabacminer_spark.operators.dedup.ngram_containment_pairs`
+  (run it on the batch before ingest); batch-vs-HISTORY containment
+  would need the store to retain hashed shingle sets for small docs
+  (bounded rows, but a schema extension) — not implemented; callers for
+  whom quoted-content dedup against history matters must keep
+  historical text and use the containment operator on the union.
 - after an ingest the store absorbs a delta (:func:`ingest_delta` +
   :func:`dedup_store_append`): exact digests of EVERY batch doc (seen
   set), signatures/bands of the SURVIVORS (accepted set).  Re-ingesting
